@@ -1,0 +1,87 @@
+"""Static-shape heterogeneous tile graphs (structure-of-arrays pytrees).
+
+The reference stores the whole-slide graph as a PyG ``HeteroData`` with two
+node types and three edge types (reference: src/segger/data/utils/
+heterodata.py:114-164) and slices dynamic-shape tiles from it.  On TPU every
+tile batch must be a fixed-shape bucket, so segger-tpu's unit of compute is
+the :class:`TileGraph`: padded node arrays + padded-CSR adjacency + validity
+masks.  Stacking B tiles on a leading axis gives the training batch; that
+axis is the data-parallel axis under ``jax.sharding``.
+
+Node packing invariant: valid nodes occupy the leading rows (0..n_valid-1)
+of every per-node array; padding rows follow.  Several ops rely on this
+(e.g. negative sampling over boundary indices, reference:
+src/segger/models/lightning_model.py:177-180).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops import PaddedCSR
+
+
+@struct.dataclass
+class TileGraph:
+    """One spatial tile of the heterogeneous transcript/boundary graph.
+
+    Shapes (per tile): Ntx transcripts, Nbd boundaries, padded widths K*.
+    """
+
+    # -- transcript ('tx') nodes -------------------------------------
+    tx_gene: jnp.ndarray      # (Ntx,)  int32 gene encoding
+    tx_pos: jnp.ndarray       # (Ntx,2) float32 spatial coordinates
+    tx_cluster: jnp.ndarray   # (Ntx,)  int32 gene phenograph cluster
+    tx_index: jnp.ndarray     # (Ntx,)  int32 global transcript row index
+    tx_valid: jnp.ndarray     # (Ntx,)  bool  real node (not padding)
+    tx_interior: jnp.ndarray  # (Ntx,)  bool  inside tile-minus-margin
+
+    # -- boundary ('bd') nodes ---------------------------------------
+    bd_x: jnp.ndarray         # (Nbd,Fbd) float32 cell embedding (PCA/morph)
+    bd_pos: jnp.ndarray       # (Nbd,2)   float32 centroid
+    bd_cluster: jnp.ndarray   # (Nbd,)    int32 cell phenograph cluster
+    bd_index: jnp.ndarray     # (Nbd,)    int32 global cell encoding
+    bd_valid: jnp.ndarray     # (Nbd,)    bool
+    bd_interior: jnp.ndarray  # (Nbd,)    bool
+
+    # -- adjacency (padded CSR, keyed by aggregation destination) ----
+    tt: PaddedCSR             # tx->tx 'neighbors'   (rows: tx)
+    tb: PaddedCSR             # tx->bd 'belongs'     (rows: bd)
+    cand: PaddedCSR           # tx->bd 'neighbors' candidates (rows: tx,
+                              #   idx entries are bd rows) — prediction only
+
+    # -- supervision edges as padded COO (segmentation loss) ---------
+    sg_src: jnp.ndarray       # (Esg,) int32 tx row
+    sg_dst: jnp.ndarray       # (Esg,) int32 bd row
+    sg_mask: jnp.ndarray      # (Esg,) bool
+
+    # optional bd->tx 'contains' adjacency (rows: tx, idx are bd rows).
+    # The reference defines this conv but its datasets never carry the
+    # edge type, so it never runs (SURVEY Appendix); kept for generality.
+    bt: Optional[PaddedCSR] = None
+
+    @property
+    def n_tx(self) -> int:
+        return self.tx_gene.shape[0]
+
+    @property
+    def n_bd(self) -> int:
+        return self.bd_x.shape[0]
+
+    def n_edges(self):
+        """Total valid message-passing edges (tt + tb [+ bt])."""
+        e = self.tt.mask.sum() + self.tb.mask.sum()
+        if self.bt is not None:
+            e = e + self.bt.mask.sum()
+        return e
+
+
+def pad_axis(a: np.ndarray, n: int, fill=0) -> np.ndarray:
+    """Pad axis 0 of ``a`` to length ``n`` with ``fill``."""
+    if a.shape[0] >= n:
+        return a[:n]
+    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad, constant_values=fill)

@@ -1,0 +1,131 @@
+"""ISTEncoder: heterogeneous GATv2 stack embedding transcripts and cells
+into a shared metric space.
+
+Architecture matches the reference's ``ISTEncoder``
+(src/segger/models/ist_encoder.py:214-333):
+
+  - first layer: gene ``Embedding`` for tx, ``Dense`` for bd -> in_channels
+  - optional concat of 2D sinusoidal positional embedding (+in_channels)
+  - GELU, then (2 + n_mid_layers) hetero GATv2 layers, GELU after each
+  - per-type ``Dense`` to out_channels, optional L2 normalization
+
+Each hetero layer (the reference's ``SkipGAT``, ist_encoder.py:82-134)
+runs a GATv2 conv per edge type and sums results per destination type.
+Parity quirk preserved: the reference registers a tx->bd conv on the
+*supervision* ('belongs') edges and a bd->tx conv that never receives
+edges at runtime (SURVEY Appendix) — so by default messages flow
+tx->tx (neighbors) and tx->bd (belongs) only; ``use_bd_to_tx`` enables
+the dormant third conv for experimentation.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..data.graph import TileGraph
+from .gatv2 import GATv2Conv
+from .positional import Positional2dEmbedder
+
+
+class HeteroGATLayer(nn.Module):
+    """One SkipGAT-equivalent layer: per-edge-type GATv2, summed per
+    destination node type (HeteroConv aggr='sum',
+    ist_encoder.py:109-134)."""
+
+    out_channels: int
+    heads: int
+    dropout: float = 0.2
+    add_self_loops_tx: bool = False  # parity: reference default is False
+    use_bd_to_tx: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x_tx: jnp.ndarray,
+        x_bd: jnp.ndarray,
+        tile: TileGraph,
+        deterministic: bool = True,
+    ):
+        conv_tt = GATv2Conv(
+            self.out_channels, self.heads, dropout=self.dropout, name="tt"
+        )
+        conv_tb = GATv2Conv(
+            self.out_channels, self.heads, dropout=self.dropout, name="tb"
+        )
+        out_tx = conv_tt(x_tx, x_tx, tile.tt, deterministic)
+        out_bd = conv_tb(x_tx, x_bd, tile.tb, deterministic)
+        if self.use_bd_to_tx and tile.bt is not None:
+            conv_bt = GATv2Conv(
+                self.out_channels, self.heads, dropout=self.dropout, name="bt"
+            )
+            out_tx = out_tx + conv_bt(x_bd, x_tx, tile.bt, deterministic)
+        return out_tx, out_bd
+
+
+class ISTEncoder(nn.Module):
+    n_genes: int
+    in_channels: int = 16
+    hidden_channels: int = 32
+    out_channels: int = 32
+    n_mid_layers: int = 3
+    n_heads: int = 3
+    normalize_embeddings: bool = True
+    use_positional_embeddings: bool = True
+    use_bd_to_tx: bool = False
+    attn_dropout: float = 0.2
+
+    @nn.compact
+    def __call__(
+        self, tile: TileGraph, deterministic: bool = True
+    ) -> Dict[str, jnp.ndarray]:
+        # First projection: gene embedding lookup / bd linear
+        # (ist_encoder.py:258-263,312)
+        gene_emb = nn.Embed(
+            self.n_genes, self.in_channels, name="gene_embedding"
+        )
+        bd_lin = nn.Dense(self.in_channels, name="bd_linear")
+        x_tx = gene_emb(tile.tx_gene.astype(jnp.int32))
+        x_bd = bd_lin(tile.bd_x)
+
+        if self.use_positional_embeddings:
+            pos_emb = Positional2dEmbedder(self.in_channels, name="pos_emb")
+            x_tx = jnp.concatenate(
+                [x_tx, pos_emb(tile.tx_pos, tile.tx_valid)], axis=-1
+            )
+            x_bd = jnp.concatenate(
+                [x_bd, pos_emb(tile.bd_pos, tile.bd_valid)], axis=-1
+            )
+
+        x_tx, x_bd = nn.gelu(x_tx), nn.gelu(x_bd)
+
+        # Conv stack: in -> hidden x heads -> ... -> out x heads
+        # (ist_encoder.py:267-280)
+        widths = (
+            [self.hidden_channels] * (1 + self.n_mid_layers)
+            + [self.out_channels]
+        )
+        for i, w in enumerate(widths):
+            layer = HeteroGATLayer(
+                out_channels=w,
+                heads=self.n_heads,
+                dropout=self.attn_dropout,
+                use_bd_to_tx=self.use_bd_to_tx,
+                name=f"conv_{i}",
+            )
+            x_tx, x_bd = layer(x_tx, x_bd, tile, deterministic)
+            x_tx, x_bd = nn.gelu(x_tx), nn.gelu(x_bd)
+
+        # Final per-type projection (HeteroDictLinear, ist_encoder.py:282-286)
+        x_tx = nn.Dense(self.out_channels, name="lin_last_tx")(x_tx)
+        x_bd = nn.Dense(self.out_channels, name="lin_last_bd")(x_bd)
+
+        if self.normalize_embeddings:
+            x_tx = x_tx / jnp.maximum(
+                jnp.linalg.norm(x_tx, axis=-1, keepdims=True), 1e-12
+            )
+            x_bd = x_bd / jnp.maximum(
+                jnp.linalg.norm(x_bd, axis=-1, keepdims=True), 1e-12
+            )
+        return {"tx": x_tx, "bd": x_bd}

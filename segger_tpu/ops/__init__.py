@@ -1,0 +1,26 @@
+from .padded_csr import PaddedCSR, coo_to_padded_csr, padded_csr_to_coo, pad_rows
+from .gather_agg import (
+    csr_gather,
+    csr_spmm,
+    csr_sddmm,
+    csr_softmax,
+    csr_max,
+    segment_sum,
+    segment_max,
+    segment_softmax,
+)
+
+__all__ = [
+    "PaddedCSR",
+    "coo_to_padded_csr",
+    "padded_csr_to_coo",
+    "pad_rows",
+    "csr_gather",
+    "csr_spmm",
+    "csr_sddmm",
+    "csr_softmax",
+    "csr_max",
+    "segment_sum",
+    "segment_max",
+    "segment_softmax",
+]

@@ -1,0 +1,135 @@
+"""Device-side sparse ops over the padded-CSR layout.
+
+These are the TPU replacements for torch_scatter / PyG segment ops used by
+the reference's hot loop (SpMM/SDDMM inside GATv2Conv and the prediction
+scatter_max, reference: src/segger/models/lightning_model.py:280-284).
+
+All ops are pure functions of fixed-shape arrays: XLA fuses the gathers
+into the surrounding elementwise work, and the row reductions vectorize on
+the VPU.  A Pallas fused variant for the full GATv2 edge-attention +
+aggregation lives in ``segger_tpu.ops.pallas``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .padded_csr import PaddedCSR
+
+_NEG_INF = -1e30
+
+
+def csr_gather(x_src: jnp.ndarray, csr: PaddedCSR) -> jnp.ndarray:
+    """Gather source features per destination row: (N_src, F) -> (N_dst, K, F).
+
+    Invalid slots gather an arbitrary in-range row; callers mask.
+    """
+    return jnp.take(x_src, csr.idx, axis=0)
+
+
+def csr_spmm(
+    x_src: jnp.ndarray,
+    csr: PaddedCSR,
+    weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Sparse matrix x dense matrix: per-destination (weighted) neighbor sum.
+
+    Parameters
+    ----------
+    x_src : (N_src, F)
+    weights : (N_dst, K) or (N_dst, K, H) optional per-edge weights.
+
+    Returns
+    -------
+    (N_dst, F) — or (N_dst, H, F) for (N_dst, K, H) weights.
+    """
+    g = csr_gather(x_src, csr)  # (N_dst, K, F)
+    m = csr.mask
+    if weights is None:
+        return jnp.where(m[..., None], g, 0).sum(axis=1)
+    if weights.ndim == 2:
+        w = jnp.where(m, weights, 0)
+        return jnp.einsum("nk,nkf->nf", w, g)
+    # multi-head: (N_dst, K, H) x (N_dst, K, F) -> (N_dst, H, F)
+    w = jnp.where(m[..., None], weights, 0)
+    return jnp.einsum("nkh,nkf->nhf", w, g)
+
+
+def csr_sddmm(
+    x_src: jnp.ndarray,
+    x_dst: jnp.ndarray,
+    csr: PaddedCSR,
+) -> jnp.ndarray:
+    """Sampled dense-dense matmul: per-edge dot products.
+
+    Returns (N_dst, K) with ``x_dst[i] . x_src[j]`` per valid edge slot
+    (invalid slots are zeroed).
+    """
+    g = csr_gather(x_src, csr)  # (N_dst, K, F)
+    e = jnp.einsum("nf,nkf->nk", x_dst, g)
+    return jnp.where(csr.mask, e, 0)
+
+
+def csr_softmax(logits: jnp.ndarray, csr: PaddedCSR) -> jnp.ndarray:
+    """Masked softmax across each destination row (the TPU replacement for
+    PyG's per-destination-segment edge softmax).
+
+    logits : (N_dst, K) or (N_dst, K, H); invalid slots get weight 0.
+    Rows with no valid edges return all-zero weights.
+    """
+    m = csr.mask if logits.ndim == 2 else csr.mask[..., None]
+    z = jnp.where(m, logits, _NEG_INF)
+    z = z - jax.lax.stop_gradient(z.max(axis=1, keepdims=True))
+    ez = jnp.where(m, jnp.exp(z), 0)
+    denom = ez.sum(axis=1, keepdims=True)
+    return ez / jnp.maximum(denom, 1e-38)
+
+
+def csr_max(
+    values: jnp.ndarray, csr: PaddedCSR
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked row max + argmax; the padded-CSR form of scatter_max.
+
+    Reproduces the reference's "no candidate => unassigned" contract
+    (src/segger/models/lightning_model.py:280-293): rows with no valid
+    slots return ``(-inf-ish value, -1)``.
+
+    Parameters
+    ----------
+    values : (N_dst, K)
+
+    Returns
+    -------
+    max_val : (N_dst,) — masked max (``-1e30`` for empty rows)
+    arg : (N_dst,) int32 — ``csr.idx`` entry of the argmax slot, or -1.
+    """
+    z = jnp.where(csr.mask, values, _NEG_INF)
+    max_val = z.max(axis=1)
+    slot = jnp.argmax(z, axis=1)
+    has_any = csr.mask.any(axis=1)
+    arg = jnp.where(
+        has_any,
+        jnp.take_along_axis(csr.idx, slot[:, None], axis=1)[:, 0],
+        -1,
+    )
+    return max_val, arg
+
+
+def segment_sum(data, segment_ids, num_segments):
+    """COO-path segment sum (used off the hot path / in tests)."""
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def segment_max(data, segment_ids, num_segments):
+    return jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+
+
+def segment_softmax(logits, segment_ids, num_segments):
+    """COO-path segment softmax (reference semantics of PyG softmax)."""
+    seg_max = jax.ops.segment_max(
+        logits, segment_ids, num_segments=num_segments
+    )
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0)
+    z = jnp.exp(logits - seg_max[segment_ids])
+    denom = jax.ops.segment_sum(z, segment_ids, num_segments=num_segments)
+    return z / jnp.maximum(denom[segment_ids], 1e-38)

@@ -1,0 +1,167 @@
+"""Unit tests for the padded-CSR sparse op layer against dense/COO references."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segger_tpu.ops import (
+    PaddedCSR,
+    coo_to_padded_csr,
+    padded_csr_to_coo,
+    csr_gather,
+    csr_spmm,
+    csr_sddmm,
+    csr_softmax,
+    csr_max,
+    segment_softmax,
+)
+
+
+def random_coo(rng, n_src, n_dst, e):
+    src = rng.integers(0, n_src, e)
+    dst = rng.integers(0, n_dst, e)
+    # dedupe (dst, src) pairs so round-trip comparisons are set-equal
+    pairs = np.unique(np.stack([dst, src], 1), axis=0)
+    return pairs[:, 0], pairs[:, 1]
+
+
+def test_coo_roundtrip(rng):
+    dst, src = random_coo(rng, 50, 40, 300)
+    csr = coo_to_padded_csr(dst, src, n_dst=40)
+    d2, s2 = padded_csr_to_coo(csr)
+    got = set(zip(d2.tolist(), s2.tolist()))
+    want = set(zip(dst.tolist(), src.tolist()))
+    assert got == want
+
+
+def test_coo_empty():
+    csr = coo_to_padded_csr(np.array([]), np.array([]), n_dst=7, k=4)
+    assert csr.idx.shape == (7, 4)
+    assert not csr.mask.any()
+    d, s = padded_csr_to_coo(csr)
+    assert d.size == 0
+
+
+def test_k_truncation_and_pad_multiple(rng):
+    dst = np.zeros(10, dtype=np.int64)
+    src = np.arange(10, dtype=np.int64)
+    csr = coo_to_padded_csr(dst, src, n_dst=3, k=5, pad_to_multiple=8)
+    assert csr.idx.shape == (3, 8)
+    assert csr.mask[0].sum() == 5  # truncated to k
+
+
+def test_spmm_matches_dense(rng):
+    n_src, n_dst, f = 30, 20, 16
+    dst, src = random_coo(rng, n_src, n_dst, 200)
+    x = rng.normal(size=(n_src, f)).astype(np.float32)
+    csr = coo_to_padded_csr(dst, src, n_dst=n_dst)
+
+    # dense adjacency reference
+    A = np.zeros((n_dst, n_src), dtype=np.float32)
+    A[dst, src] = 1.0
+    want = A @ x
+    got = np.asarray(csr_spmm(jnp.asarray(x), csr))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_weighted_matches_dense(rng):
+    n_src, n_dst, f = 25, 15, 8
+    dst, src = random_coo(rng, n_src, n_dst, 120)
+    x = rng.normal(size=(n_src, f)).astype(np.float32)
+    csr = coo_to_padded_csr(dst, src, n_dst=n_dst)
+    w = rng.normal(size=csr.idx.shape).astype(np.float32)
+
+    A = np.zeros((n_dst, n_src), dtype=np.float32)
+    idx, mask = np.asarray(csr.idx), np.asarray(csr.mask)
+    for i in range(n_dst):
+        for kk in range(idx.shape[1]):
+            if mask[i, kk]:
+                A[i, idx[i, kk]] += w[i, kk]
+    want = A @ x
+    got = np.asarray(csr_spmm(jnp.asarray(x), csr, jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sddmm_matches_dense(rng):
+    n_src, n_dst, f = 12, 9, 6
+    dst, src = random_coo(rng, n_src, n_dst, 60)
+    xs = rng.normal(size=(n_src, f)).astype(np.float32)
+    xd = rng.normal(size=(n_dst, f)).astype(np.float32)
+    csr = coo_to_padded_csr(dst, src, n_dst=n_dst)
+    e = np.asarray(csr_sddmm(jnp.asarray(xs), jnp.asarray(xd), csr))
+    idx, mask = np.asarray(csr.idx), np.asarray(csr.mask)
+    for i in range(n_dst):
+        for kk in range(idx.shape[1]):
+            if mask[i, kk]:
+                np.testing.assert_allclose(
+                    e[i, kk], xd[i] @ xs[idx[i, kk]], rtol=1e-4, atol=1e-4
+                )
+            else:
+                assert e[i, kk] == 0
+
+
+def test_csr_softmax_rows_sum_to_one(rng):
+    n_dst = 11
+    dst, src = random_coo(rng, 13, n_dst, 70)
+    csr = coo_to_padded_csr(dst, src, n_dst=n_dst)
+    logits = jnp.asarray(rng.normal(size=csr.idx.shape).astype(np.float32))
+    a = np.asarray(csr_softmax(logits, csr))
+    rowsum = a.sum(1)
+    has = np.asarray(csr.mask).any(1)
+    np.testing.assert_allclose(rowsum[has], 1.0, rtol=1e-5)
+    np.testing.assert_allclose(rowsum[~has], 0.0)
+    assert (a[~np.asarray(csr.mask)] == 0).all()
+
+
+def test_csr_softmax_matches_segment_softmax(rng):
+    n_dst = 8
+    dst, src = random_coo(rng, 10, n_dst, 40)
+    csr = coo_to_padded_csr(dst, src, n_dst=n_dst)
+    logits_tbl = rng.normal(size=csr.idx.shape).astype(np.float32)
+    a_tbl = np.asarray(csr_softmax(jnp.asarray(logits_tbl), csr))
+    # flatten to COO and compare with segment softmax
+    mask = np.asarray(csr.mask)
+    rows = np.repeat(np.arange(n_dst), csr.idx.shape[1]).reshape(mask.shape)
+    seg = rows[mask]
+    coo_logits = logits_tbl[mask]
+    a_coo = np.asarray(
+        segment_softmax(jnp.asarray(coo_logits), jnp.asarray(seg), n_dst)
+    )
+    np.testing.assert_allclose(a_tbl[mask], a_coo, rtol=1e-5, atol=1e-6)
+
+
+def test_csr_max_empty_rows_get_minus_one(rng):
+    n_dst = 6
+    dst = np.array([0, 0, 2, 2, 2])
+    src = np.array([3, 1, 0, 4, 2])
+    csr = coo_to_padded_csr(dst, src, n_dst=n_dst)
+    vals = jnp.asarray(
+        np.array(
+            [[0.5, 0.9, 0], [0, 0, 0], [0.1, 0.8, 0.3], [0, 0, 0], [0, 0, 0], [0, 0, 0]],
+            dtype=np.float32,
+        )
+    )
+    mx, arg = csr_max(vals, csr)
+    arg = np.asarray(arg)
+    mx = np.asarray(mx)
+    assert arg[1] == -1 and arg[3] == -1  # empty rows unassigned
+    assert arg[0] == 1  # src of the 0.9 slot
+    assert arg[2] == 4
+    np.testing.assert_allclose(mx[0], 0.9)
+
+
+def test_grad_flows_through_spmm(rng):
+    n_src, n_dst, f = 10, 7, 4
+    dst, src = random_coo(rng, n_src, n_dst, 30)
+    csr = coo_to_padded_csr(dst, src, n_dst=n_dst)
+    x = jnp.asarray(rng.normal(size=(n_src, f)).astype(np.float32))
+
+    def loss(x):
+        return csr_spmm(x, csr).sum()
+
+    g = np.asarray(jax.grad(loss)(x))
+    # gradient of sum over neighbor-sums = in-degree contribution per src
+    deg = np.zeros(n_src)
+    for s in src:
+        deg[s] += 1
+    np.testing.assert_allclose(g[:, 0], deg, rtol=1e-5)
