@@ -90,7 +90,7 @@ def sample_triplets(
         # present clusters
         w = weight_matrix[lab] * present[None, :].astype(weight_matrix.dtype)
         tot = w.sum(axis=1, keepdims=True)
-        cdf = jnp.cumsum(w, axis=1) / jnp.maximum(tot, 1e-38)
+        cdf = jnp.cumsum(w, axis=1) / jnp.maximum(tot, 1e-30)
         u = jax.random.uniform(key_cluster, (n, 1))
         cl = jnp.sum(cdf < u, axis=1).astype(jnp.int32)
         cl = jnp.clip(cl, 0, c - 1)

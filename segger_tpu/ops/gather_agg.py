@@ -82,7 +82,7 @@ def csr_softmax(logits: jnp.ndarray, csr: PaddedCSR) -> jnp.ndarray:
     z = z - jax.lax.stop_gradient(z.max(axis=1, keepdims=True))
     ez = jnp.where(m, jnp.exp(z), 0)
     denom = ez.sum(axis=1, keepdims=True)
-    return ez / jnp.maximum(denom, 1e-38)
+    return ez / jnp.maximum(denom, 1e-30)
 
 
 def csr_max(
@@ -132,4 +132,4 @@ def segment_softmax(logits, segment_ids, num_segments):
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0)
     z = jnp.exp(logits - seg_max[segment_ids])
     denom = jax.ops.segment_sum(z, segment_ids, num_segments=num_segments)
-    return z / jnp.maximum(denom[segment_ids], 1e-38)
+    return z / jnp.maximum(denom[segment_ids], 1e-30)
