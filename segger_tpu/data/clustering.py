@@ -1,0 +1,156 @@
+"""PhenoGraph-style clustering: kNN -> Jaccard-weighted graph -> Louvain.
+
+CPU re-implementation of the reference's ``phenograph_rapids``
+(reference: src/segger/data/utils/neighbors.py:18-51), which uses cuML
+NearestNeighbors + cuGraph jaccard + cuGraph louvain.  Here: sklearn kNN,
+sparse-matrix Jaccard, and a native Louvain (scipy-sparse based, no
+Python-per-node loops in the hot phase).  Off the training hot path, so
+CPU is acceptable (SURVEY §7 hard parts).
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy import sparse as sp
+
+
+def knn_jaccard_graph(X: np.ndarray, n_neighbors: int) -> sp.csr_matrix:
+    """Build the Jaccard-weighted undirected kNN graph.
+
+    Matches cuGraph semantics: the kNN edge list (self included, as cuML
+    returns the query point itself) is treated as an undirected simple
+    graph; Jaccard weight of edge (u, v) = |N(u) & N(v)| / |N(u) | N(v)|
+    over graph neighborhoods.
+    """
+    from sklearn.neighbors import NearestNeighbors
+
+    n = X.shape[0]
+    k = min(n_neighbors, n)
+    nn = NearestNeighbors(n_neighbors=k).fit(X)
+    _, idx = nn.kneighbors(X)
+
+    rows = np.repeat(np.arange(n), k)
+    cols = idx.ravel()
+    A = sp.coo_matrix(
+        (np.ones(rows.size), (rows, cols)), shape=(n, n)
+    ).tocsr()
+    # undirected simple graph, no self loops
+    A = ((A + A.T) > 0).astype(np.float64)
+    A.setdiag(0)
+    A.eliminate_zeros()
+
+    # |N(u) & N(v)| for every existing edge: (A @ A) restricted to edges
+    inter = (A @ A).multiply(A)  # csr
+    deg = np.asarray(A.sum(axis=1)).ravel()
+    inter = inter.tocoo()
+    union = deg[inter.row] + deg[inter.col] - inter.data
+    w = np.where(union > 0, inter.data / np.maximum(union, 1), 0.0)
+    J = sp.coo_matrix((w, (inter.row, inter.col)), shape=(n, n)).tocsr()
+    # keep zero-jaccard edges out; isolated nodes become singleton clusters
+    J.eliminate_zeros()
+    return J
+
+
+def louvain(
+    adj: sp.csr_matrix,
+    resolution: float = 1.0,
+    seed: int = 0,
+    max_levels: int = 10,
+    max_sweeps: int = 20,
+) -> np.ndarray:
+    """Louvain community detection on a weighted undirected graph.
+
+    Vectorized local-moving implementation: each sweep proposes, for every
+    node, the neighboring community with maximal modularity gain (computed
+    via one sparse matmul onto the community-indicator matrix), applied
+    with a deterministic tie-break.  Aggregates and recurses like the
+    standard algorithm (cuGraph louvain analogue).
+    """
+    rng = np.random.default_rng(seed)
+    n0 = adj.shape[0]
+    # labels: original node -> current super-node of A
+    labels = np.arange(n0)
+    A = ((adj + adj.T) * 0.5).tocsr()
+
+    for _level in range(max_levels):
+        n = A.shape[0]
+        m2 = A.sum()  # = 2m for undirected (each edge counted twice)
+        if m2 <= 0 or n <= 1:
+            break
+        k = np.asarray(A.sum(axis=1)).ravel()  # weighted degrees
+        comm = np.arange(n)
+        improved = False
+
+        for _sweep in range(max_sweeps):
+            C = comm.max() + 1
+            ind = sp.coo_matrix(
+                (np.ones(n), (np.arange(n), comm)), shape=(n, C)
+            ).tocsr()
+            # W[i, c] = sum of edge weights from i into community c
+            W = (A @ ind).tocsr()
+            sigma = np.asarray(ind.T @ k).ravel()  # community degree sums
+
+            # modularity gain of moving i into c:
+            #   W[i,c] - resolution * k_i * (sigma_c - [c==comm_i]*k_i) / 2m
+            best = np.empty(n, dtype=np.int64)
+            gain_best = np.empty(n)
+            step = max(1, int(5e7 // max(C, 1)))
+            for s in range(0, n, step):
+                e = min(n, s + step)
+                blk = W[s:e].toarray()
+                rows = np.arange(s, e)
+                sig = np.repeat(sigma[None, :], e - s, axis=0)
+                sig[np.arange(e - s), comm[rows]] -= k[rows]
+                g = blk - resolution * k[rows, None] * sig / m2
+                g[blk == 0] = -np.inf  # only neighboring communities
+                g[np.arange(e - s), comm[rows]] = 0.0  # staying = 0 gain
+                best[rows] = np.argmax(g, axis=1)
+                gain_best[rows] = g[np.arange(e - s), best[rows]]
+
+            move = (gain_best > 1e-12) & (best != comm)
+            if not move.any():
+                break
+            # apply a random subset of moves to avoid oscillation
+            apply = move & (rng.uniform(size=n) < 0.7)
+            if not apply.any():
+                apply = move
+            comm = comm.copy()
+            comm[apply] = best[apply]
+            improved = True
+
+        if not improved:
+            break
+        # compact community ids and compose original-node mapping
+        _, comm = np.unique(comm, return_inverse=True)
+        labels = comm[labels]
+        C = comm.max() + 1
+        if C == n:
+            break
+        # aggregate graph onto communities
+        ind = sp.coo_matrix(
+            (np.ones(n), (np.arange(n), comm)), shape=(n, C)
+        ).tocsr()
+        A = (ind.T @ A @ ind).tocsr()
+
+    _, labels = np.unique(labels, return_inverse=True)
+    return labels
+
+
+def phenograph(
+    X: np.ndarray,
+    n_neighbors: int,
+    resolution: float = 1.0,
+    min_size: int = -1,
+    seed: int = 0,
+) -> np.ndarray:
+    """kNN -> Jaccard -> Louvain; clusters sorted by size descending and
+    relabeled 0..C-1; clusters with size <= min_size get label -1
+    (reference: neighbors.py:44-51)."""
+    J = knn_jaccard_graph(np.asarray(X, dtype=np.float64), n_neighbors)
+    labels = louvain(J, resolution=resolution, seed=seed)
+    # sort clusters by size (desc), relabel, drop small ones
+    uniq, counts = np.unique(labels, return_counts=True)
+    order = np.argsort(-counts, kind="stable")
+    remap = np.full(uniq.max() + 1, -1, dtype=np.int64)
+    for new_id, oi in enumerate(order):
+        remap[uniq[oi]] = new_id if counts[oi] > min_size else -1
+    return remap[labels]

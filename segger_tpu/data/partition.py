@@ -1,0 +1,380 @@
+"""Tiling, partitioning, and static-shape tile extraction.
+
+The reference permutes the whole graph so tiles are contiguous slices and
+drops cross-tile edges for training; prediction tiles are bbox-expanded
+halos with an interior predict-mask
+(reference: src/segger/data/partition/dataset.py:340-506,
+src/segger/data/tile_dataset.py:50-60,218-264).
+
+On TPU every tile must be a *fixed-shape* :class:`TileGraph`; this module
+extracts per-tile node/edge arrays and pads them into shape buckets
+(powers-of-growth rounding), so XLA compiles one program per bucket
+instead of one per tile.  The bin-packing samplers double as shape
+bucketing (SURVEY §7).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..geometry.quadtree import QuadTree
+from ..ops.padded_csr import coo_to_padded_csr, PaddedCSR
+from .assemble import HostGraph
+from .graph import TileGraph
+
+
+# ----------------------------------------------------------------------
+# tile specs
+# ----------------------------------------------------------------------
+@dataclass
+class TileSpec:
+    """Host-side membership of one tile (global row indices)."""
+
+    tx_rows: np.ndarray       # global tx indices (sorted)
+    bd_rows: np.ndarray       # global bd indices (sorted)
+    tx_interior: np.ndarray   # bool per tile tx (loss / predict mask)
+    bd_interior: np.ndarray   # bool per tile bd
+    n_edges: int = 0          # message-passing edges (for bin packing)
+
+
+def build_tiling(
+    graph: HostGraph, nodes_per_tile: int = 50_000
+) -> QuadTree:
+    """Adaptive quadtree over tx+bd positions jointly
+    (reference: data_module.py:244-252)."""
+    pos = np.vstack([graph.tx_pos, graph.bd_pos])
+    return QuadTree.build(pos, max_leaf_size=nodes_per_tile)
+
+
+def make_fit_tiles(
+    graph: HostGraph, tree: QuadTree, margin: float = 20.0
+) -> List[TileSpec]:
+    """Training tiles: nodes labeled by leaf, cross-tile edges dropped,
+    interior = leaf shrunk by ``margin``
+    (reference: tile_dataset.py:50-60, partition/dataset.py:483)."""
+    tx_lab = tree.label(graph.tx_pos)
+    bd_lab = tree.label(graph.bd_pos)
+    tx_int = tree.shrunk_mask(graph.tx_pos, tx_lab, margin)
+    bd_int = tree.shrunk_mask(graph.bd_pos, bd_lab, margin)
+
+    # per-tile edge counts (cross-tile edges dropped): tt + sg
+    tt_same = tx_lab[graph.tt_src] == tx_lab[graph.tt_dst]
+    sg_same = tx_lab[graph.sg_src] == bd_lab[graph.sg_dst]
+    tt_counts = np.bincount(
+        tx_lab[graph.tt_dst][tt_same & (tx_lab[graph.tt_dst] >= 0)],
+        minlength=tree.n_leaves,
+    )
+    sg_counts = np.bincount(
+        bd_lab[graph.sg_dst][sg_same & (bd_lab[graph.sg_dst] >= 0)],
+        minlength=tree.n_leaves,
+    )
+
+    tiles = []
+    for li in range(tree.n_leaves):
+        tx_rows = np.where(tx_lab == li)[0]
+        bd_rows = np.where(bd_lab == li)[0]
+        if tx_rows.size == 0:
+            continue
+        tiles.append(
+            TileSpec(
+                tx_rows=tx_rows,
+                bd_rows=bd_rows,
+                tx_interior=tx_int[tx_rows],
+                bd_interior=bd_int[bd_rows],
+                n_edges=int(tt_counts[li] + sg_counts[li]),
+            )
+        )
+    return tiles
+
+
+def make_predict_tiles(
+    graph: HostGraph, tree: QuadTree, margin: float = 20.0
+) -> List[TileSpec]:
+    """Prediction tiles: leaf bbox expanded by ``margin`` (halo) so every
+    interior node sees its full receptive field; interior = inside the
+    unexpanded leaf — each transcript predicted exactly once
+    (reference: tile_dataset.py:218-264)."""
+    tx_lab = tree.label(graph.tx_pos)
+    bd_lab = tree.label(graph.bd_pos)
+    tx_pairs = tree.expanded_label_multi(graph.tx_pos, margin)
+    bd_pairs = tree.expanded_label_multi(graph.bd_pos, margin)
+
+    tiles = []
+    for li in range(tree.n_leaves):
+        tx_rows = np.sort(tx_pairs[0][tx_pairs[1] == li])
+        bd_rows = np.sort(bd_pairs[0][bd_pairs[1] == li])
+        if tx_rows.size == 0:
+            continue
+        tx_interior = tx_lab[tx_rows] == li
+        bd_interior = bd_lab[bd_rows] == li
+        if not tx_interior.any():
+            continue
+        # edge count for packing: tt edges with dst in tile
+        in_tile = np.zeros(graph.n_tx, bool)
+        in_tile[tx_rows] = True
+        ne = int((in_tile[graph.tt_src] & in_tile[graph.tt_dst]).sum())
+        tiles.append(
+            TileSpec(
+                tx_rows=tx_rows,
+                bd_rows=bd_rows,
+                tx_interior=tx_interior,
+                bd_interior=bd_interior,
+                n_edges=ne,
+            )
+        )
+    return tiles
+
+
+# ----------------------------------------------------------------------
+# static-shape extraction
+# ----------------------------------------------------------------------
+def _round_up(x: int, m: int, minimum: int = 0) -> int:
+    return max(minimum, -(-max(x, 1) // m) * m)
+
+
+@dataclass(frozen=True)
+class BucketShape:
+    n_tx: int
+    n_bd: int
+    k_tt: int
+    k_tb: int
+    k_cand: int
+    e_sg: int
+
+
+def _subselect_edges(src, dst, tx_map, bd_map=None):
+    """Select edges with both endpoints in the tile, remapped to local
+    indices.  ``tx_map``/``bd_map`` are global->local arrays (-1 if out)."""
+    dmap = tx_map if bd_map is None else bd_map
+    s = tx_map[src]
+    d = dmap[dst]
+    keep = (s >= 0) & (d >= 0)
+    return s[keep], d[keep]
+
+
+def tile_bucket(
+    graph: HostGraph, spec: TileSpec,
+    round_tx: int = 256, round_bd: int = 64,
+) -> BucketShape:
+    """Compute the padded bucket shape for a tile (degrees rounded so few
+    distinct shapes occur -> few XLA compilations)."""
+    tx_map = np.full(graph.n_tx, -1, np.int64)
+    tx_map[spec.tx_rows] = np.arange(spec.tx_rows.size)
+    bd_map = np.full(graph.n_bd, -1, np.int64)
+    bd_map[spec.bd_rows] = np.arange(spec.bd_rows.size)
+
+    tt_s, tt_d = _subselect_edges(graph.tt_src, graph.tt_dst, tx_map)
+    sg_s, sg_d = _subselect_edges(graph.sg_src, graph.sg_dst, tx_map, bd_map)
+    ca_s, ca_d = _subselect_edges(
+        graph.cand_src, graph.cand_dst, tx_map, bd_map
+    )
+    deg = lambda d, n: int(np.bincount(d, minlength=max(n, 1)).max()) if d.size else 1
+    return BucketShape(
+        n_tx=_round_up(spec.tx_rows.size, round_tx),
+        n_bd=_round_up(spec.bd_rows.size, round_bd),
+        k_tt=_round_up(deg(tt_d, spec.tx_rows.size), 4),
+        k_tb=_round_up(deg(sg_d, spec.bd_rows.size), 8),
+        k_cand=_round_up(deg(ca_s, spec.tx_rows.size), 4),
+        e_sg=_round_up(sg_s.size, 256),
+    )
+
+
+def merge_buckets(shapes: Sequence[BucketShape]) -> BucketShape:
+    """Least upper bound of bucket shapes (for stacking tiles)."""
+    return BucketShape(
+        n_tx=max(s.n_tx for s in shapes),
+        n_bd=max(s.n_bd for s in shapes),
+        k_tt=max(s.k_tt for s in shapes),
+        k_tb=max(s.k_tb for s in shapes),
+        k_cand=max(s.k_cand for s in shapes),
+        e_sg=max(s.e_sg for s in shapes),
+    )
+
+
+def extract_tile(
+    graph: HostGraph, spec: TileSpec, bucket: BucketShape
+) -> TileGraph:
+    """Materialize one tile as a padded, fixed-shape NumPy TileGraph.
+
+    Valid nodes occupy the leading rows (packing invariant of
+    :class:`TileGraph`)."""
+    ntx, nbd = spec.tx_rows.size, spec.bd_rows.size
+    assert ntx <= bucket.n_tx and nbd <= bucket.n_bd
+
+    tx_map = np.full(graph.n_tx, -1, np.int64)
+    tx_map[spec.tx_rows] = np.arange(ntx)
+    bd_map = np.full(graph.n_bd, -1, np.int64)
+    bd_map[spec.bd_rows] = np.arange(nbd)
+
+    def padn(a, n, fill=0):
+        pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, pad, constant_values=fill)
+
+    tt_s, tt_d = _subselect_edges(graph.tt_src, graph.tt_dst, tx_map)
+    sg_s, sg_d = _subselect_edges(graph.sg_src, graph.sg_dst, tx_map, bd_map)
+    ca_s, ca_d = _subselect_edges(
+        graph.cand_src, graph.cand_dst, tx_map, bd_map
+    )
+
+    tt = coo_to_padded_csr(tt_d, tt_s, n_dst=bucket.n_tx, k=bucket.k_tt)
+    tb = coo_to_padded_csr(sg_d, sg_s, n_dst=bucket.n_bd, k=bucket.k_tb)
+    # candidates keyed per-tx: rows are tx, idx entries are bd rows
+    cand = coo_to_padded_csr(ca_s, ca_d, n_dst=bucket.n_tx, k=bucket.k_cand)
+
+    e_sg = bucket.e_sg
+    n_sg = min(sg_s.size, e_sg)
+
+    # per-tile positional offset is kept: normalization is tile-local in
+    # the model (positional.py)
+    return TileGraph(
+        tx_gene=padn(graph.tx_gene[spec.tx_rows], bucket.n_tx),
+        tx_pos=padn(graph.tx_pos[spec.tx_rows], bucket.n_tx),
+        tx_cluster=padn(graph.tx_cluster[spec.tx_rows], bucket.n_tx, -1),
+        tx_index=padn(
+            graph.tx_index[spec.tx_rows].astype(np.int32), bucket.n_tx, -1
+        ),
+        tx_valid=padn(np.ones(ntx, bool), bucket.n_tx),
+        tx_interior=padn(spec.tx_interior, bucket.n_tx),
+        bd_x=padn(graph.bd_x[spec.bd_rows], bucket.n_bd),
+        bd_pos=padn(graph.bd_pos[spec.bd_rows], bucket.n_bd),
+        bd_cluster=padn(graph.bd_cluster[spec.bd_rows], bucket.n_bd, -1),
+        bd_index=padn(
+            graph.bd_index[spec.bd_rows].astype(np.int32), bucket.n_bd, -1
+        ),
+        bd_valid=padn(np.ones(nbd, bool), bucket.n_bd),
+        bd_interior=padn(spec.bd_interior, bucket.n_bd),
+        tt=tt,
+        tb=tb,
+        cand=cand,
+        sg_src=padn(sg_s[:n_sg].astype(np.int32), e_sg),
+        sg_dst=padn(sg_d[:n_sg].astype(np.int32), e_sg),
+        sg_mask=padn(np.ones(n_sg, bool), e_sg),
+    )
+
+
+def stack_tiles(tiles: Sequence[TileGraph]) -> TileGraph:
+    """Stack same-bucket tiles on a leading axis (the data-parallel axis)."""
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *tiles)
+
+
+def empty_tile(bucket: BucketShape, f_bd: int) -> TileGraph:
+    """An all-padding tile (used to round batches up to a device-count
+    multiple without touching the loss: every mask is False)."""
+    z = np.zeros
+    return TileGraph(
+        tx_gene=z(bucket.n_tx, np.int32),
+        tx_pos=z((bucket.n_tx, 2), np.float32),
+        tx_cluster=np.full(bucket.n_tx, -1, np.int32),
+        tx_index=np.full(bucket.n_tx, -1, np.int32),
+        tx_valid=z(bucket.n_tx, bool),
+        tx_interior=z(bucket.n_tx, bool),
+        bd_x=z((bucket.n_bd, f_bd), np.float32),
+        bd_pos=z((bucket.n_bd, 2), np.float32),
+        bd_cluster=np.full(bucket.n_bd, -1, np.int32),
+        bd_index=np.full(bucket.n_bd, -1, np.int32),
+        bd_valid=z(bucket.n_bd, bool),
+        bd_interior=z(bucket.n_bd, bool),
+        tt=PaddedCSR(
+            idx=z((bucket.n_tx, bucket.k_tt), np.int32),
+            mask=z((bucket.n_tx, bucket.k_tt), bool),
+        ),
+        tb=PaddedCSR(
+            idx=z((bucket.n_bd, bucket.k_tb), np.int32),
+            mask=z((bucket.n_bd, bucket.k_tb), bool),
+        ),
+        cand=PaddedCSR(
+            idx=z((bucket.n_tx, bucket.k_cand), np.int32),
+            mask=z((bucket.n_tx, bucket.k_cand), bool),
+        ),
+        sg_src=z(bucket.e_sg, np.int32),
+        sg_dst=z(bucket.e_sg, np.int32),
+        sg_mask=z(bucket.e_sg, bool),
+    )
+
+
+# ----------------------------------------------------------------------
+# bin-packing samplers (reference: src/segger/data/partition/sampler.py)
+# ----------------------------------------------------------------------
+def best_fit_decreasing(
+    values: np.ndarray, max_num: float
+) -> List[np.ndarray]:
+    """Deterministic offline BFD (reference: sampler.py:11-82): sort items
+    descending, place each in the fullest bin it fits in."""
+    order = np.argsort(-np.asarray(values), kind="stable")
+    bins: List[list] = []
+    loads: List[float] = []
+    for i in order:
+        v = values[i]
+        best, best_load = -1, -1.0
+        for b, load in enumerate(loads):
+            if load + v <= max_num and load > best_load:
+                best, best_load = b, load
+        if best < 0:
+            bins.append([i])
+            loads.append(float(v))
+        else:
+            bins[best].append(i)
+            loads[best] += v
+    return [np.asarray(b) for b in bins]
+
+
+def first_fit_decreasing_bucketed(
+    values: np.ndarray,
+    max_num: float,
+    rng: Optional[np.random.Generator] = None,
+    n_buckets: int = 10,
+) -> List[np.ndarray]:
+    """FFD with shuffling inside value-similarity buckets — the
+    reference's shuffled train packer (sampler.py:186-289)."""
+    values = np.asarray(values)
+    rng = rng or np.random.default_rng()
+    order = np.argsort(-values, kind="stable")
+    # shuffle within quantile buckets to decorrelate epochs
+    chunks = np.array_split(order, n_buckets)
+    order = np.concatenate([rng.permutation(c) for c in chunks if c.size])
+    bins: List[list] = []
+    loads: List[float] = []
+    for i in order:
+        v = values[i]
+        placed = False
+        for b in range(len(bins)):
+            if loads[b] + v <= max_num:
+                bins[b].append(i)
+                loads[b] += v
+                placed = True
+                break
+        if not placed:
+            bins.append([i])
+            loads.append(float(v))
+    out = [np.asarray(b) for b in bins]
+    rng.shuffle(out)
+    return out
+
+
+def harmonic_k(
+    values: np.ndarray, max_num: float, k: int = 4
+) -> List[np.ndarray]:
+    """Harmonic-k online packing (present in the reference but unused by
+    default; sampler.py:85-183): items are classed by size into harmonic
+    intervals (max/(j+1), max/j] and each class packs j items per bin."""
+    values = np.asarray(values)
+    classes: List[List[list]] = [[] for _ in range(k)]
+    bins: List[list] = []
+    for i in range(len(values)):
+        v = values[i]
+        j = min(int(max_num // max(v, 1e-9)), k)
+        if j <= 1:
+            bins.append([i])
+            continue
+        cls = classes[j - 1]
+        if cls and len(cls[-1]) < j:
+            cls[-1].append(i)
+        else:
+            cls.append([i])
+    for cls in classes:
+        bins.extend(cls)
+    return [np.asarray(b) for b in bins]

@@ -1,0 +1,168 @@
+"""Synthetic IST data generator (ground-truth-bearing).
+
+Generates a Xenium-like standardized dataset: cells of several "types"
+with distinct gene-expression programs, circular-ish nucleus/cell
+boundaries, transcripts scattered around cell centers, plus background
+noise transcripts.  Used by the test suite (BASELINE config #1: ~5k tx +
+200 nuclei) and by ``write_synthetic_dataset`` to exercise the IO/CLI
+path with on-disk parquet files in the standard schema
+(reference schema: src/segger/io/fields.py:104-124).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from ..io.fields import StandardTranscriptFields, StandardBoundaryFields
+
+
+@dataclass
+class SyntheticData:
+    transcripts: pd.DataFrame      # standard transcript schema + truth_cell
+    boundaries: pd.DataFrame       # cell_id, boundary_type, contains_nucleus
+    polygons: dict                 # (cell_id, boundary_type) -> (V,2) array
+    truth_cell: np.ndarray         # ground-truth cell id per transcript
+                                   # ('' for background)
+
+
+def _circle(center, radius, n=24, rng=None, wobble=0.15):
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    r = radius * (
+        1 + (rng.uniform(-wobble, wobble, n) if rng is not None else 0)
+    )
+    return np.stack(
+        [center[0] + r * np.cos(th), center[1] + r * np.sin(th)], axis=1
+    )
+
+
+def make_synthetic(
+    n_cells: int = 200,
+    n_genes: int = 60,
+    n_cell_types: int = 5,
+    mean_tx_per_cell: int = 25,
+    background_rate: float = 0.05,
+    extent: float = 400.0,
+    cell_radius: float = 8.0,
+    nucleus_ratio: float = 0.55,
+    seed: int = 0,
+) -> SyntheticData:
+    rng = np.random.default_rng(seed)
+    tx_f = StandardTranscriptFields()
+    bd_f = StandardBoundaryFields()
+
+    # cell type expression programs: sparse gene loadings
+    programs = rng.gamma(0.3, 1.0, size=(n_cell_types, n_genes))
+    programs /= programs.sum(axis=1, keepdims=True)
+
+    # poisson-disc-ish cell centers: jittered grid to avoid heavy overlap
+    grid = int(np.ceil(np.sqrt(n_cells)))
+    pitch = extent / grid
+    centers = []
+    for i in range(grid):
+        for j in range(grid):
+            if len(centers) >= n_cells:
+                break
+            c = np.array([(i + 0.5) * pitch, (j + 0.5) * pitch])
+            centers.append(c + rng.normal(0, pitch * 0.15, 2))
+    centers = np.array(centers[:n_cells])
+    types = rng.integers(0, n_cell_types, n_cells)
+    radii = cell_radius * rng.uniform(0.7, 1.3, n_cells)
+
+    gene_names = np.array([f"GENE_{g:03d}" for g in range(n_genes)])
+    cell_ids = np.array([f"cell_{c:05d}" for c in range(n_cells)])
+
+    rows = []
+    truth = []
+    for c in range(n_cells):
+        n_tx = rng.poisson(mean_tx_per_cell)
+        if n_tx == 0:
+            continue
+        # radial gaussian spread; ~some fraction inside nucleus radius
+        pos = centers[c] + rng.normal(0, radii[c] * 0.55, (n_tx, 2))
+        genes = rng.choice(n_genes, n_tx, p=programs[types[c]])
+        d = np.sqrt(((pos - centers[c]) ** 2).sum(axis=1))
+        r_nuc = radii[c] * nucleus_ratio
+        compartment = np.where(
+            d <= r_nuc,
+            tx_f.nucleus_value,
+            np.where(d <= radii[c], tx_f.cytoplasmic_value,
+                     tx_f.extracellular_value),
+        )
+        # vendor assignment: inside the cell -> this cell, else unassigned
+        vendor = np.where(d <= radii[c], cell_ids[c], "")
+        for i in range(n_tx):
+            rows.append(
+                (pos[i, 0], pos[i, 1], gene_names[genes[i]],
+                 vendor[i], compartment[i])
+            )
+            truth.append(cell_ids[c])
+
+    # background noise transcripts
+    n_bg = int(len(rows) * background_rate)
+    bg_pos = rng.uniform(0, extent, (n_bg, 2))
+    bg_genes = rng.integers(0, n_genes, n_bg)
+    for i in range(n_bg):
+        rows.append(
+            (bg_pos[i, 0], bg_pos[i, 1], gene_names[bg_genes[i]],
+             "", tx_f.extracellular_value)
+        )
+        truth.append("")
+
+    tx = pd.DataFrame(
+        rows, columns=[tx_f.x, tx_f.y, tx_f.feature, tx_f.cell_id,
+                       tx_f.compartment]
+    )
+    # shuffle to avoid cell-sorted order
+    perm = rng.permutation(len(tx))
+    tx = tx.iloc[perm].reset_index(drop=True)
+    truth = np.asarray(truth)[perm]
+    tx.insert(0, tx_f.row_index, np.arange(len(tx), dtype=np.int64))
+    tx[tx_f.cell_id] = tx[tx_f.cell_id].replace("", None)
+
+    # boundaries: cell + nucleus polygons
+    brows, polys = [], {}
+    for c in range(n_cells):
+        poly_c = _circle(centers[c], radii[c], rng=rng)
+        poly_n = _circle(centers[c], radii[c] * nucleus_ratio, rng=rng)
+        brows.append((cell_ids[c], bd_f.cell_value, True))
+        brows.append((cell_ids[c], bd_f.nucleus_value, True))
+        polys[(cell_ids[c], bd_f.cell_value)] = poly_c
+        polys[(cell_ids[c], bd_f.nucleus_value)] = poly_n
+    bd = pd.DataFrame(
+        brows, columns=[bd_f.id, bd_f.boundary_type, bd_f.contains_nucleus]
+    )
+    return SyntheticData(
+        transcripts=tx, boundaries=bd, polygons=polys, truth_cell=truth
+    )
+
+
+def write_synthetic_dataset(
+    directory, seed: int = 0, **kwargs
+) -> "SyntheticData":
+    """Write a standardized dataset directory (transcripts.parquet +
+    boundaries.parquet with flattened polygon vertices) for IO/CLI tests."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    data = make_synthetic(seed=seed, **kwargs)
+    tx_f = StandardTranscriptFields()
+    bd_f = StandardBoundaryFields()
+
+    data.transcripts.assign(truth_cell=data.truth_cell).to_parquet(
+        directory / tx_f.filename
+    )
+    # boundaries: one row per vertex (ragged polygons flattened)
+    rows = []
+    for (cid, btype), poly in data.polygons.items():
+        contains = True
+        for v in poly:
+            rows.append((cid, btype, contains, v[0], v[1]))
+    pd.DataFrame(
+        rows,
+        columns=[bd_f.id, bd_f.boundary_type, bd_f.contains_nucleus,
+                 "vertex_x", "vertex_y"],
+    ).to_parquet(directory / bd_f.filename)
+    return data

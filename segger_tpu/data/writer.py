@@ -1,0 +1,165 @@
+"""Segmentation output writer: transcript-to-cell assignment table with
+per-gene similarity thresholds, parquet + h5ad outputs.
+
+Re-implements the reference's ``ISTSegmentationWriter``
+(reference: src/segger/data/writer.py:19-292) on pandas/pyarrow:
+
+  - concatenate per-batch predictions, map cell encodings to cell ids,
+    dedupe transcripts predicted in multiple halo tiles by max similarity
+  - per-gene threshold = min(Yen, Li) on each gene's similarity histogram
+    (sampled to 10M; Li capped at 250 iterations), median backfill for
+    genes that fail to converge
+  - ``segger_segmentation.parquet`` and optionally ``segger_anndata.h5ad``
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..io.fields import TrainingTranscriptFields, TrainingBoundaryFields
+from .features import anndata_from_transcripts
+from .threshold import threshold_yen, threshold_li
+
+logger = logging.getLogger(__name__)
+
+_SAMPLE_CAP = 10_000_000  # reference: writer.py:215
+
+
+def assign_transcripts_to_cells(
+    predictions: Dict[str, np.ndarray],
+    cell_ids: np.ndarray,
+    gene_names: Optional[np.ndarray] = None,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Build the segmentation table (reference: writer.py:131-265).
+
+    Parameters
+    ----------
+    predictions : dict with flat arrays ``row_index``, ``cell_encoding``,
+        ``similarity``, ``gene`` (as returned by ``SeggerTrainer.predict``).
+    cell_ids : (n_cells,) str — cell id per cell encoding.
+    gene_names : optional (n_genes,) str for the output table.
+    """
+    tx_f = TrainingTranscriptFields()
+    df = pd.DataFrame(
+        {
+            tx_f.row_index: predictions["row_index"].astype(np.int64),
+            "cell_encoding": predictions["cell_encoding"].astype(np.int64),
+            "segger_similarity": predictions["similarity"].astype(np.float64),
+            tx_f.feature: predictions["gene"].astype(np.int64),
+        }
+    )
+    # dedupe cross-tile duplicates by max similarity (writer.py:199-204)
+    df = df.sort_values(
+        [tx_f.row_index, "segger_similarity"], ascending=[True, False]
+    ).drop_duplicates(tx_f.row_index, keep="first")
+
+    # map encodings to ids; -1 (unassigned) -> null
+    enc = df["cell_encoding"].to_numpy()
+    assigned = enc >= 0
+    cell_id_col = np.full(len(df), None, dtype=object)
+    cell_id_col[assigned] = np.asarray(cell_ids)[enc[assigned]]
+    df = df.drop(columns=["cell_encoding"])
+    df["segger_cell_id"] = cell_id_col
+
+    # per-gene thresholds (writer.py:206-253)
+    rng = np.random.default_rng(seed)
+    thresholds, failed = {}, []
+    sel = df[df["segger_cell_id"].notna()]
+    for gene, group in sel.groupby(tx_f.feature):
+        arr = group["segger_similarity"].to_numpy()
+        if arr.size > _SAMPLE_CAP:
+            arr = rng.choice(arr, _SAMPLE_CAP, replace=False)
+        try:
+            tye = threshold_yen(arr)
+            tli = threshold_li(arr, max_iter=250)
+            thresholds[gene] = min(tye, tli)
+        except StopIteration:
+            failed.append(gene)
+    # median backfill (writer.py:249-253)
+    global_thr = (
+        float(np.quantile(list(thresholds.values()), 0.5))
+        if thresholds
+        else 0.0
+    )
+    for gene in failed:
+        thresholds[gene] = global_thr
+
+    thr = df[tx_f.feature].map(thresholds)
+    df["similarity_threshold"] = thr.fillna(global_thr)
+    df["converged"] = ~df[tx_f.feature].isin(failed)
+    if gene_names is not None:
+        df["segger_gene"] = np.asarray(gene_names)[
+            df[tx_f.feature].to_numpy()
+        ]
+    return df.reset_index(drop=True)
+
+
+class SegmentationWriter:
+    """End-of-prediction writer (reference: writer.py:19-129)."""
+
+    def __init__(
+        self,
+        output_directory,
+        save_anndata: bool = True,
+        debug: bool = False,
+    ):
+        self.output_directory = Path(output_directory)
+        self.output_directory.mkdir(parents=True, exist_ok=True)
+        self.save_anndata = save_anndata
+        self.debug = debug
+        if debug:
+            (self.output_directory / "debug").mkdir(exist_ok=True)
+
+    def write(
+        self,
+        predictions: Dict[str, np.ndarray],
+        cell_ids: np.ndarray,
+        gene_names: np.ndarray,
+        transcripts: Optional[pd.DataFrame] = None,
+    ) -> pd.DataFrame:
+        if self.debug:
+            import pickle
+
+            with open(
+                self.output_directory / "debug" / "predictions.pkl", "wb"
+            ) as f:
+                pickle.dump(predictions, f)
+
+        seg = assign_transcripts_to_cells(
+            predictions, cell_ids, gene_names
+        )
+        out = seg.drop(columns=[TrainingTranscriptFields().feature])
+        out.to_parquet(
+            self.output_directory / "segger_segmentation.parquet"
+        )
+        if self.save_anndata and transcripts is not None:
+            self.write_anndata(seg, transcripts)
+        return seg
+
+    def write_anndata(self, seg: pd.DataFrame, transcripts: pd.DataFrame):
+        """Above-threshold transcripts -> cell x gene h5ad
+        (reference: writer.py:86-129)."""
+        tx_f = TrainingTranscriptFields()
+        kept = seg[
+            seg["segger_similarity"] >= seg["similarity_threshold"]
+        ]
+        merged = kept.merge(
+            transcripts[
+                [tx_f.row_index, tx_f.x, tx_f.y, tx_f.feature]
+            ].rename(columns={tx_f.feature: "segger_gene_name"}),
+            on=tx_f.row_index,
+            how="left",
+        )
+        adata = anndata_from_transcripts(
+            merged,
+            feature_column="segger_gene_name",
+            cell_id_column="segger_cell_id",
+            score_column="segger_similarity",
+            coordinate_columns=[tx_f.x, tx_f.y],
+        )
+        adata.write_h5ad(self.output_directory / "segger_anndata.h5ad")

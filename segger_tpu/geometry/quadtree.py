@@ -1,0 +1,157 @@
+"""Density-adaptive quadtree over 2D points, with the exactly-once
+labeling invariant.
+
+The reference builds a cuSpatial GPU quadtree and must detect + retry
+overlapping-leaf bugs (reference: src/segger/geometry/quadtree.py:181-202,
+segger issue #40).  This host-side quadtree splits half-open boxes
+[x0, x1) x [y0, y1) at midpoints, so every point lies in exactly one leaf
+by construction — the invariant is structural, not checked-and-retried.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+
+
+@dataclass
+class QuadTree:
+    """Adaptive quadtree; leaves partition the (slightly expanded)
+    bounding box of the input points."""
+
+    bounds: np.ndarray            # (4,) root x0, y0, x1, y1
+    leaf_bounds: np.ndarray       # (L, 4) half-open leaf boxes
+    leaf_counts: np.ndarray       # (L,) points per leaf at build time
+    max_leaf_size: int
+    max_depth: int = 24
+
+    @classmethod
+    def build(
+        cls,
+        points: np.ndarray,
+        max_leaf_size: int,
+        max_depth: int = 24,
+    ) -> "QuadTree":
+        points = np.asarray(points, dtype=np.float64)
+        x0, y0 = points.min(axis=0)
+        x1, y1 = points.max(axis=0)
+        # expand upper edge so max-coordinate points fall inside the
+        # half-open root box
+        eps = max(x1 - x0, y1 - y0, 1.0) * 1e-9
+        x1, y1 = x1 + eps, y1 + eps
+
+        leaves: List[tuple] = []
+        counts: List[int] = []
+
+        def split(idx: np.ndarray, bx, depth: int):
+            if idx.size <= max_leaf_size or depth >= max_depth:
+                leaves.append(bx)
+                counts.append(idx.size)
+                return
+            bx0, by0, bx1, by1 = bx
+            mx, my = (bx0 + bx1) / 2, (by0 + by1) / 2
+            px, py = points[idx, 0], points[idx, 1]
+            right = px >= mx
+            top = py >= my
+            quads = [
+                (idx[~right & ~top], (bx0, by0, mx, my)),
+                (idx[right & ~top], (mx, by0, bx1, my)),
+                (idx[~right & top], (bx0, my, mx, by1)),
+                (idx[right & top], (mx, my, bx1, by1)),
+            ]
+            for sub_idx, sub_bx in quads:
+                split(sub_idx, sub_bx, depth + 1)
+
+        split(np.arange(len(points)), (x0, y0, x1, y1), 0)
+        return cls(
+            bounds=np.array([x0, y0, x1, y1]),
+            leaf_bounds=np.array(leaves, dtype=np.float64).reshape(-1, 4),
+            leaf_counts=np.array(counts, dtype=np.int64),
+            max_leaf_size=max_leaf_size,
+            max_depth=max_depth,
+        )
+
+    @property
+    def n_leaves(self) -> int:
+        return len(self.leaf_bounds)
+
+    def label(self, points: np.ndarray) -> np.ndarray:
+        """Leaf index per point; -1 for points outside the root box.
+
+        Every in-bounds point matches exactly one leaf (half-open boxes).
+        Vectorized sweep over leaves grouped via sorting on quadrant
+        midlines would be faster, but leaves are few (<= N/max_leaf_size
+        * 4) so an interval-tree-free double loop over leaves is fine.
+        """
+        points = np.asarray(points, dtype=np.float64)
+        out = np.full(len(points), -1, dtype=np.int64)
+        x, y = points[:, 0], points[:, 1]
+        # order leaves in a grid-bucketed index for fast candidate lookup
+        for li, (x0, y0, x1, y1) in enumerate(self.leaf_bounds):
+            m = (x >= x0) & (x < x1) & (y >= y0) & (y < y1)
+            out[m] = li
+        return out
+
+    def is_exactly_once(self, points: np.ndarray) -> bool:
+        """Validation analogue of the reference's quadtree validity check
+        (quadtree.py:261-270): every in-root point hits exactly one leaf."""
+        points = np.asarray(points, dtype=np.float64)
+        x, y = points[:, 0], points[:, 1]
+        hits = np.zeros(len(points), dtype=np.int64)
+        for (x0, y0, x1, y1) in self.leaf_bounds:
+            hits += (x >= x0) & (x < x1) & (y >= y0) & (y < y1)
+        rx0, ry0, rx1, ry1 = self.bounds
+        inside = (x >= rx0) & (x < rx1) & (y >= ry0) & (y < ry1)
+        return bool((hits[inside] == 1).all() and (hits[~inside] == 0).all())
+
+    def shrunk_mask(
+        self, points: np.ndarray, labels: np.ndarray, margin: float
+    ) -> np.ndarray:
+        """True where a point lies strictly inside its leaf shrunk by
+        ``margin`` on every side — the training interior mask
+        (reference: src/segger/data/tiling.py:94-127).  Mirrors the
+        reference's progressive margin-halving fallback: if a leaf is
+        annihilated by the margin (no interior points), halve the margin
+        for that leaf until some survive or the margin vanishes."""
+        points = np.asarray(points, dtype=np.float64)
+        out = np.zeros(len(points), dtype=bool)
+        x, y = points[:, 0], points[:, 1]
+        for li, (x0, y0, x1, y1) in enumerate(self.leaf_bounds):
+            sel = labels == li
+            if not sel.any():
+                continue
+            m = margin
+            while True:
+                inner = (
+                    (x[sel] >= x0 + m)
+                    & (x[sel] < x1 - m)
+                    & (y[sel] >= y0 + m)
+                    & (y[sel] < y1 - m)
+                )
+                if inner.any() or m < 1e-6:
+                    break
+                m /= 2
+            out[np.where(sel)[0][inner]] = True
+        return out
+
+    def expanded_label_multi(
+        self, points: np.ndarray, margin: float
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(point_idx, leaf_idx) pairs for leaves *expanded* by ``margin``
+        — the prediction halo membership (a point can belong to several
+        expanded leaves; reference: tile_dataset.py:218-264)."""
+        points = np.asarray(points, dtype=np.float64)
+        x, y = points[:, 0], points[:, 1]
+        p_out, l_out = [], []
+        for li, (x0, y0, x1, y1) in enumerate(self.leaf_bounds):
+            m = (
+                (x >= x0 - margin)
+                & (x < x1 + margin)
+                & (y >= y0 - margin)
+                & (y < y1 + margin)
+            )
+            idx = np.where(m)[0]
+            p_out.append(idx)
+            l_out.append(np.full(idx.size, li, dtype=np.int64))
+        return np.concatenate(p_out), np.concatenate(l_out)

@@ -29,6 +29,38 @@ from .gatv2 import GATv2Conv
 from .positional import Positional2dEmbedder
 
 
+def safe_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """L2 normalize with torch.nn.functional.normalize semantics
+    (zero vectors stay zero) and a NaN-free gradient at x=0.
+
+    ``x / max(|x|, eps)`` alone has a NaN gradient at exactly zero in JAX
+    (0/0 inside the norm's chain rule); clamping under the sqrt and
+    selecting the zero branch with ``where`` makes both value and grad
+    exact.
+    """
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return jnp.where(sq > eps * eps, x / norm, 0.0)
+
+
+def torch_linear_bias_init(fan_in: int):
+    """torch.nn.Linear default bias init: U(-1/sqrt(fan_in), +1/sqrt(fan_in)).
+
+    The reference's final per-type projection is a torch Linear
+    (HeteroDictLinear, ist_encoder.py:282-286) whose nonzero bias keeps
+    isolated nodes off the exact-zero embedding; we match it."""
+    import jax
+
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(
+            key, shape, dtype, minval=-bound, maxval=bound
+        )
+
+    return init
+
+
 class HeteroGATLayer(nn.Module):
     """One SkipGAT-equivalent layer: per-edge-type GATv2, summed per
     destination node type (HeteroConv aggr='sum',
@@ -118,14 +150,19 @@ class ISTEncoder(nn.Module):
             x_tx, x_bd = nn.gelu(x_tx), nn.gelu(x_bd)
 
         # Final per-type projection (HeteroDictLinear, ist_encoder.py:282-286)
-        x_tx = nn.Dense(self.out_channels, name="lin_last_tx")(x_tx)
-        x_bd = nn.Dense(self.out_channels, name="lin_last_bd")(x_bd)
+        fan = x_tx.shape[-1]
+        x_tx = nn.Dense(
+            self.out_channels,
+            bias_init=torch_linear_bias_init(fan),
+            name="lin_last_tx",
+        )(x_tx)
+        x_bd = nn.Dense(
+            self.out_channels,
+            bias_init=torch_linear_bias_init(fan),
+            name="lin_last_bd",
+        )(x_bd)
 
         if self.normalize_embeddings:
-            x_tx = x_tx / jnp.maximum(
-                jnp.linalg.norm(x_tx, axis=-1, keepdims=True), 1e-12
-            )
-            x_bd = x_bd / jnp.maximum(
-                jnp.linalg.norm(x_bd, axis=-1, keepdims=True), 1e-12
-            )
+            x_tx = safe_normalize(x_tx)
+            x_bd = safe_normalize(x_bd)
         return {"tx": x_tx, "bd": x_bd}

