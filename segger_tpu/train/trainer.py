@@ -72,9 +72,22 @@ class TrainConfig:
 class SeggerTrainer:
     """Train + predict driver over a HostGraph and tile specs."""
 
-    def __init__(self, graph: HostGraph, config: TrainConfig = TrainConfig()):
+    def __init__(
+        self,
+        graph: HostGraph,
+        config: TrainConfig = TrainConfig(),
+        mesh=None,
+    ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
+        stacked-tile batches are sharded over it (tile data parallelism;
+        XLA inserts the gradient all-reduce)."""
         self.graph = graph
         self.cfg = config
+        self.mesh = mesh
+        if mesh is not None and config.tiles_per_step % mesh.size:
+            config.tiles_per_step = mesh.size * max(
+                1, config.tiles_per_step // mesh.size
+            )
         # gene embedding provides in_channels when pretrained
         # (lightning_model.py:94-106)
         emb = graph.gene_embedding
@@ -125,6 +138,14 @@ class SeggerTrainer:
             )
             self.opt_state = self.tx.init(params)
         return params
+
+    # ------------------------------------------------------------------
+    def _device_put(self, batch):
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_tile_batch
+
+            return shard_tile_batch(batch, self.mesh)
+        return jax.tree.map(jnp.asarray, batch)
 
     # ------------------------------------------------------------------
     def _build_train_step(self):
@@ -279,6 +300,11 @@ class SeggerTrainer:
             probe = self.make_batches(train_tiles[:1], shuffle=False)[0]
             template = jax.tree.map(lambda x: x[0], probe)
             self.init(template)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.params = replicate(self.params, self.mesh)
+            self.opt_state = replicate(self.opt_state, self.mesh)
         if self._train_step is None:
             self._train_step, self._eval_step = self._build_train_step()
 
@@ -298,7 +324,7 @@ class SeggerTrainer:
             ep_loss = []
             for batch in batches:
                 key, sub = jax.random.split(key)
-                batch = jax.tree.map(jnp.asarray, batch)
+                batch = self._device_put(batch)
                 self.params, self.opt_state, loss, aux = self._train_step(
                     self.params, self.opt_state, batch, sub, weights
                 )
@@ -316,7 +342,7 @@ class SeggerTrainer:
                 vl = []
                 for batch in val_batches:
                     key, sub = jax.random.split(key)
-                    batch = jax.tree.map(jnp.asarray, batch)
+                    batch = self._device_put(batch)
                     loss, aux = self._eval_step(
                         self.params, batch, sub, weights
                     )
@@ -346,7 +372,7 @@ class SeggerTrainer:
         out = {k: [] for k in ("row_index", "cell_encoding",
                                "similarity", "gene")}
         for batch in batches:
-            batch = jax.tree.map(jnp.asarray, batch)
+            batch = self._device_put(batch)
             idx, seg, sim, gene, mask = jax.tree.map(
                 np.asarray, self._predict_step(self.params, batch)
             )

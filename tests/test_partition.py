@@ -1,0 +1,94 @@
+"""Tiling/partition/bin-packing tests (reference semantics from
+partition/dataset.py and sampler.py)."""
+import numpy as np
+import pytest
+
+from segger_tpu.geometry.quadtree import QuadTree
+from segger_tpu.data.partition import (
+    best_fit_decreasing,
+    first_fit_decreasing_bucketed,
+    harmonic_k,
+)
+
+
+def test_quadtree_exactly_once(rng):
+    pts = rng.uniform(0, 100, (5000, 2))
+    tree = QuadTree.build(pts, max_leaf_size=500)
+    assert tree.n_leaves > 1
+    assert tree.is_exactly_once(pts)
+    labels = tree.label(pts)
+    assert (labels >= 0).all()
+    # leaf counts match label counts
+    counts = np.bincount(labels, minlength=tree.n_leaves)
+    np.testing.assert_array_equal(counts, tree.leaf_counts)
+
+
+def test_quadtree_max_coordinate_point_included(rng):
+    """The max-coordinate corner point must land in a leaf (half-open
+    boxes expanded at the top edge)."""
+    pts = np.array([[0.0, 0.0], [1.0, 1.0], [1.0, 0.0], [0.0, 1.0]])
+    tree = QuadTree.build(pts, max_leaf_size=2)
+    assert (tree.label(pts) >= 0).all()
+
+
+def test_quadtree_label_unseen_points(rng):
+    pts = rng.uniform(0, 100, (1000, 2))
+    tree = QuadTree.build(pts, max_leaf_size=100)
+    outside = np.array([[200.0, 200.0], [-5.0, 50.0]])
+    assert (tree.label(outside) == -1).all()
+
+
+def test_shrunk_mask_is_interior(rng):
+    pts = rng.uniform(0, 100, (2000, 2))
+    tree = QuadTree.build(pts, max_leaf_size=600)
+    labels = tree.label(pts)
+    mask = tree.shrunk_mask(pts, labels, margin=5.0)
+    # every interior point is at distance >= margin from its leaf border
+    for li, (x0, y0, x1, y1) in enumerate(tree.leaf_bounds):
+        sel = (labels == li) & mask
+        if sel.any():
+            p = pts[sel]
+            assert (p[:, 0] >= x0 + 5.0).all() and (p[:, 0] < x1 - 5.0).all()
+            assert (p[:, 1] >= y0 + 5.0).all() and (p[:, 1] < y1 - 5.0).all()
+
+
+def test_expanded_halo_covers_interior(rng):
+    pts = rng.uniform(0, 100, (2000, 2))
+    tree = QuadTree.build(pts, max_leaf_size=600)
+    labels = tree.label(pts)
+    p_idx, l_idx = tree.expanded_label_multi(pts, margin=10.0)
+    # every (point, own-leaf) pair is present in the halo membership
+    own = set(zip(range(len(pts)), labels.tolist()))
+    halo = set(zip(p_idx.tolist(), l_idx.tolist()))
+    assert own <= halo
+
+
+@pytest.mark.parametrize(
+    "packer", [best_fit_decreasing, first_fit_decreasing_bucketed,
+               harmonic_k]
+)
+def test_bin_packers_respect_budget(rng, packer):
+    values = rng.integers(1, 500, 100)
+    budget = 1000
+    kwargs = (
+        {"rng": np.random.default_rng(0)}
+        if packer is first_fit_decreasing_bucketed
+        else {}
+    )
+    bins = packer(values, budget, **kwargs)
+    # every item appears exactly once
+    all_items = np.sort(np.concatenate(bins))
+    np.testing.assert_array_equal(all_items, np.arange(100))
+    # bins respect the budget (single oversized items get their own bin)
+    for b in bins:
+        if len(b) > 1:
+            assert values[b].sum() <= budget
+
+
+def test_bfd_is_deterministic(rng):
+    values = rng.integers(1, 300, 50)
+    a = best_fit_decreasing(values, 500)
+    b = best_fit_decreasing(values, 500)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
