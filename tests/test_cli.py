@@ -1,0 +1,127 @@
+"""CLI end-to-end tests: preprocess -> segment -> export -> debug."""
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+REPO = Path(__file__).resolve().parents[1]
+RUNNER = """
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+from segger_tpu.cli.main import main
+sys.exit(main(sys.argv[1:]))
+"""
+
+
+def run_cli(*args, timeout=600):
+    return subprocess.run(
+        [sys.executable, "-c", RUNNER, *map(str, args)],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO,
+    )
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    from segger_tpu.data.synthetic import write_synthetic_dataset
+
+    d = tmp_path_factory.mktemp("cli_data")
+    write_synthetic_dataset(
+        d, seed=0, n_cells=120, n_genes=30, mean_tx_per_cell=20
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def segmented(dataset, tmp_path_factory):
+    out = tmp_path_factory.mktemp("cli_seg")
+    r = run_cli(
+        "segment", "-i", dataset, "-o", out,
+        "--cells-embedding-size", 16,
+        "--cells-min-counts", 5,
+        "--genes-min-counts", 10,
+        "--tiling-nodes-per-tile", 2000,
+        "--tiling-margin-training", 10.0,
+        "--tiling-margin-prediction", 12.0,
+        "--prediction-graph-buffer-ratio", 0.2,
+        "--hidden-channels", 16,
+        "--out-channels", 16,
+        "--n-mid-layers", 0,
+        "--max-epochs", 2,
+        "--debug",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    return out
+
+
+def test_help_is_fast_and_complete():
+    r = run_cli("segment", "--help", timeout=120)
+    assert r.returncode == 0
+    # registry-scraped options with defaults present in help
+    assert "--tiling-nodes-per-tile" in r.stdout
+    assert "50000" in r.stdout
+    assert "--learning-rate" in r.stdout
+
+
+def test_segment_outputs(segmented):
+    assert (segmented / "segger_segmentation.parquet").exists()
+    assert (segmented / "segger_anndata.h5ad").exists()
+    assert (segmented / "metrics.csv").exists()
+    assert (segmented / "params.json").exists()
+    assert (segmented / "debug" / "checkpoint.npz").exists()
+    assert (segmented / "debug" / "adata_debug.h5ad").exists()
+    seg = pd.read_parquet(segmented / "segger_segmentation.parquet")
+    assert {"row_index", "segger_cell_id", "segger_similarity",
+            "similarity_threshold"} <= set(seg.columns)
+    assert len(seg) > 1000
+
+
+def test_export_all_elements(dataset, segmented, tmp_path):
+    out = tmp_path / "exp"
+    r = run_cli(
+        "export", "-i", dataset, "-s", segmented, "-o", out,
+        "anndata", "transcripts", "boundaries",
+        "--threshold-mode", "none",
+        "--min-transcripts", 5,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (out / "segger_boundaries.parquet").exists()
+    assert (out / "segger_anndata.h5ad").exists()
+    assert (out / "segger_transcripts.parquet").exists()
+    bd = pd.read_parquet(out / "segger_boundaries.parquet")
+    assert bd["cell_id"].nunique() > 20
+    # rings have >= 3 vertices
+    assert (bd.groupby("cell_id").size() >= 3).all()
+
+
+def test_debug_segment_only(segmented, tmp_path):
+    out = tmp_path / "reseg"
+    r = run_cli(
+        "debug", "segment-only",
+        "-d", segmented / "debug", "-o", out,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    seg = pd.read_parquet(out / "segger_segmentation.parquet")
+    orig = pd.read_parquet(segmented / "segger_segmentation.parquet")
+    assert len(seg) == len(orig)
+
+
+def test_debug_predict_only(dataset, segmented, tmp_path):
+    out = tmp_path / "repred"
+    r = run_cli(
+        "debug", "predict-only",
+        "-i", dataset,
+        "-c", segmented / "debug" / "checkpoint.npz",
+        "-o", out,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (out / "segger_segmentation.parquet").exists()
