@@ -79,20 +79,31 @@ class HeteroGATLayer(nn.Module):
         x_bd: jnp.ndarray,
         tile: TileGraph,
         deterministic: bool = True,
+        x_tx_src: jnp.ndarray | None = None,
+        x_bd_src: jnp.ndarray | None = None,
     ):
+        """``x_tx_src``/``x_bd_src`` override the *source* feature arrays
+        (e.g. halo-extended copies in distributed execution); destination
+        features stay local."""
+        if x_tx_src is None:
+            x_tx_src = x_tx
+        if x_bd_src is None:
+            x_bd_src = x_bd
         conv_tt = GATv2Conv(
             self.out_channels, self.heads, dropout=self.dropout, name="tt"
         )
         conv_tb = GATv2Conv(
             self.out_channels, self.heads, dropout=self.dropout, name="tb"
         )
-        out_tx = conv_tt(x_tx, x_tx, tile.tt, deterministic)
-        out_bd = conv_tb(x_tx, x_bd, tile.tb, deterministic)
+        out_tx = conv_tt(x_tx_src, x_tx, tile.tt, deterministic)
+        out_bd = conv_tb(x_tx_src, x_bd, tile.tb, deterministic)
         if self.use_bd_to_tx and tile.bt is not None:
             conv_bt = GATv2Conv(
                 self.out_channels, self.heads, dropout=self.dropout, name="bt"
             )
-            out_tx = out_tx + conv_bt(x_bd, x_tx, tile.bt, deterministic)
+            out_tx = out_tx + conv_bt(
+                x_bd_src, x_tx, tile.bt, deterministic
+            )
         return out_tx, out_bd
 
 
@@ -110,8 +121,18 @@ class ISTEncoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, tile: TileGraph, deterministic: bool = True
+        self,
+        tile: TileGraph,
+        deterministic: bool = True,
+        exchange=None,
+        pos_prenormalized: bool = False,
     ) -> Dict[str, jnp.ndarray]:
+        """``exchange``: optional callback ``(x_tx, x_bd) -> (x_tx_src,
+        x_bd_src)`` invoked before every conv layer.  In distributed
+        execution it performs the per-layer halo exchange (ppermute of
+        boundary-node features) and returns halo-extended source arrays;
+        locally it is None and sources == destinations.
+        ``pos_prenormalized``: coordinates are already in [0, 1]."""
         # First projection: gene embedding lookup / bd linear
         # (ist_encoder.py:258-263,312)
         gene_emb = nn.Embed(
@@ -124,10 +145,14 @@ class ISTEncoder(nn.Module):
         if self.use_positional_embeddings:
             pos_emb = Positional2dEmbedder(self.in_channels, name="pos_emb")
             x_tx = jnp.concatenate(
-                [x_tx, pos_emb(tile.tx_pos, tile.tx_valid)], axis=-1
+                [x_tx,
+                 pos_emb(tile.tx_pos, tile.tx_valid, pos_prenormalized)],
+                axis=-1,
             )
             x_bd = jnp.concatenate(
-                [x_bd, pos_emb(tile.bd_pos, tile.bd_valid)], axis=-1
+                [x_bd,
+                 pos_emb(tile.bd_pos, tile.bd_valid, pos_prenormalized)],
+                axis=-1,
             )
 
         x_tx, x_bd = nn.gelu(x_tx), nn.gelu(x_bd)
@@ -146,7 +171,14 @@ class ISTEncoder(nn.Module):
                 use_bd_to_tx=self.use_bd_to_tx,
                 name=f"conv_{i}",
             )
-            x_tx, x_bd = layer(x_tx, x_bd, tile, deterministic)
+            if exchange is not None:
+                x_tx_src, x_bd_src = exchange(x_tx, x_bd)
+            else:
+                x_tx_src, x_bd_src = None, None
+            x_tx, x_bd = layer(
+                x_tx, x_bd, tile, deterministic,
+                x_tx_src=x_tx_src, x_bd_src=x_bd_src,
+            )
             x_tx, x_bd = nn.gelu(x_tx), nn.gelu(x_bd)
 
         # Final per-type projection (HeteroDictLinear, ist_encoder.py:282-286)

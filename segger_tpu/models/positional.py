@@ -40,15 +40,26 @@ class Positional2dEmbedder(nn.Module):
     frequency_embedding_size: int = 256
 
     @nn.compact
-    def __call__(self, pos: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        pos: jnp.ndarray,
+        valid: jnp.ndarray,
+        prenormalized: bool = False,
+    ) -> jnp.ndarray:
         dim = self.hidden_size // 2
-        # normalize per tile over valid nodes (reference normalizes per
-        # batch-graph: ist_encoder.py:66-74)
-        big = jnp.float32(1e30)
-        vm = valid[:, None]
-        mins = jnp.min(jnp.where(vm, pos, big), axis=0)
-        maxs = jnp.max(jnp.where(vm, pos, -big), axis=0)
-        p = (pos - mins) / (maxs - mins + 1e-8)
+        if prenormalized:
+            # caller already mapped coordinates to [0, 1] (e.g. globally,
+            # for sharded whole-slide execution where per-shard min/max
+            # would differ across devices)
+            p = pos
+        else:
+            # normalize per tile over valid nodes (reference normalizes
+            # per batch-graph: ist_encoder.py:66-74)
+            big = jnp.float32(1e30)
+            vm = valid[:, None]
+            mins = jnp.min(jnp.where(vm, pos, big), axis=0)
+            maxs = jnp.max(jnp.where(vm, pos, -big), axis=0)
+            p = (pos - mins) / (maxs - mins + 1e-8)
 
         freq = sinusoidal_embedding(p, self.frequency_embedding_size)
         mlp = nn.Sequential(

@@ -1,0 +1,461 @@
+"""Halo-exchange sharded execution: whole-slide inference over a device
+mesh without tiling truncation.
+
+The reference predicts in bbox-expanded halo tiles on one GPU and
+dedupes overlaps (reference: src/segger/data/tile_dataset.py:218-264,
+writer.py:199-204).  The TPU-native equivalent (SURVEY §5.7/§5.8)
+distributes the slide itself: the graph is strip-partitioned across the
+mesh by x-coordinate, every device owns its nodes exactly once, and
+before *each* GATv2 layer the features of boundary nodes are fetched
+from their owners with ``jax.lax.ppermute`` over ICI — the graph
+analogue of context-parallel ring exchange.  Per-layer refresh makes the
+computation exact for any depth: no margins, no duplicate predictions,
+no dedupe.
+
+Host side: :func:`build_sharded_graph` strips the slide, builds per-shard
+padded TileGraphs whose CSR indices point into the *extended* node space
+``[local | halo-from-left | halo-from-right]``, and records the send
+index lists.  Device side: :func:`sharded_predict_fn` wraps the ordinary
+``ISTEncoder`` with an exchange callback inside ``shard_map``.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.assemble import HostGraph
+from ..data.graph import TileGraph
+from ..ops.padded_csr import PaddedCSR
+
+
+@struct.dataclass
+class HaloSpec:
+    """Per-shard send lists (leading axis = shard), plus static extended
+    metadata for prediction."""
+
+    tx_send_left: jnp.ndarray        # (D, H) local tx rows -> left nbr
+    tx_send_left_mask: jnp.ndarray
+    tx_send_right: jnp.ndarray
+    tx_send_right_mask: jnp.ndarray
+    bd_send_left: jnp.ndarray        # (D, Hq)
+    bd_send_left_mask: jnp.ndarray
+    bd_send_right: jnp.ndarray
+    bd_send_right_mask: jnp.ndarray
+    bd_index_ext: jnp.ndarray        # (D, Q+2Hq) global cell encoding of
+                                     # extended bd rows (-1 invalid)
+
+
+def _strip_assign(x: np.ndarray, n_shards: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Equal-count strip partition along x; returns (shard_of_point,
+    strip boundaries)."""
+    qs = np.quantile(x, np.linspace(0, 1, n_shards + 1)[1:-1])
+    shard = np.searchsorted(qs, x, side="right")
+    return shard.astype(np.int64), qs
+
+
+def _round_up(x, m):
+    return max(m, -(-int(x) // m) * m)
+
+
+def build_sharded_graph(
+    graph: HostGraph,
+    n_shards: int,
+    round_nodes: int = 128,
+    round_halo: int = 32,
+) -> Tuple[TileGraph, HaloSpec, np.ndarray]:
+    """Partition the whole-slide graph into ``n_shards`` x-strips.
+
+    Returns (stacked per-shard TileGraph with leading axis D, HaloSpec,
+    dropped-edge counts per edge type).  Edges spanning non-adjacent
+    strips are dropped (counted); with equal-count strips and local
+    spatial graphs this is empty in practice.
+    """
+    D = n_shards
+    tx_shard, _ = _strip_assign(graph.tx_pos[:, 0], D)
+    # bd follows its centroid
+    bd_shard = np.searchsorted(
+        np.quantile(graph.tx_pos[:, 0], np.linspace(0, 1, D + 1)[1:-1]),
+        graph.bd_pos[:, 0], side="right",
+    ).astype(np.int64)
+
+    # global [0,1] normalization for positional embeddings
+    lo = np.vstack([graph.tx_pos, graph.bd_pos]).min(axis=0)
+    hi = np.vstack([graph.tx_pos, graph.bd_pos]).max(axis=0)
+    scale = (hi - lo) + 1e-8
+
+    # local orders + index maps
+    tx_rows = [np.where(tx_shard == d)[0] for d in range(D)]
+    bd_rows = [np.where(bd_shard == d)[0] for d in range(D)]
+    P_ = _round_up(max(r.size for r in tx_rows), round_nodes)
+    Q_ = _round_up(max(max(r.size for r in bd_rows), 1), round_nodes)
+    tx_local = np.full(graph.n_tx, -1, np.int64)
+    bd_local = np.full(graph.n_bd, -1, np.int64)
+    for d in range(D):
+        tx_local[tx_rows[d]] = np.arange(tx_rows[d].size)
+        bd_local[bd_rows[d]] = np.arange(bd_rows[d].size)
+
+    # ------------------------------------------------------------------
+    # send sets: for every cross-shard edge, the src must be in the
+    # owner's send list toward the consumer
+    # ------------------------------------------------------------------
+    def cross(src, dst_shard_arr, src_shard_arr):
+        """Split edges by shard delta; returns dict delta -> edge mask."""
+        delta = dst_shard_arr - src_shard_arr
+        return delta
+
+    dropped = np.zeros(3, dtype=np.int64)
+
+    send_right_tx = [set() for _ in range(D)]  # owner d -> consumer d+1
+    send_left_tx = [set() for _ in range(D)]   # owner d -> consumer d-1
+    send_right_bd = [set() for _ in range(D)]
+    send_left_bd = [set() for _ in range(D)]
+
+    def note_tx(src, delta, which_drop):
+        for s, dl in zip(src, delta):
+            if dl == 0:
+                continue
+            owner = tx_shard[s]
+            if dl == 1:
+                send_right_tx[owner].add(s)
+            elif dl == -1:
+                send_left_tx[owner].add(s)
+            else:
+                dropped[which_drop] += 1
+
+    # tt edges: src tx, dst tx
+    note_tx(graph.tt_src, tx_shard[graph.tt_dst] - tx_shard[graph.tt_src], 0)
+    # sg edges: src tx, dst bd
+    note_tx(graph.sg_src, bd_shard[graph.sg_dst] - tx_shard[graph.sg_src], 1)
+    # cand edges: rows are tx (dst side of the table), idx entries are bd
+    for s, dl in zip(
+        graph.cand_dst, tx_shard[graph.cand_src] - bd_shard[graph.cand_dst]
+    ):
+        if dl == 0:
+            continue
+        owner = bd_shard[s]
+        if dl == 1:
+            send_right_bd[owner].add(s)
+        elif dl == -1:
+            send_left_bd[owner].add(s)
+        else:
+            dropped[2] += 1
+
+    H = _round_up(
+        max(
+            [1]
+            + [len(s) for s in send_right_tx]
+            + [len(s) for s in send_left_tx]
+        ),
+        round_halo,
+    )
+    Hq = _round_up(
+        max(
+            [1]
+            + [len(s) for s in send_right_bd]
+            + [len(s) for s in send_left_bd]
+        ),
+        round_halo,
+    )
+
+    # ordered send lists + position maps (global id -> slot)
+    def mk_send(send_sets, width, local_map):
+        idx = np.zeros((D, width), np.int32)
+        mask = np.zeros((D, width), bool)
+        slot_of = [dict() for _ in range(D)]
+        for d in range(D):
+            ordered = np.sort(np.fromiter(send_sets[d], dtype=np.int64))
+            for j, g in enumerate(ordered):
+                idx[d, j] = local_map[g]
+                mask[d, j] = True
+                slot_of[d][g] = j
+        return idx, mask, slot_of
+
+    sr_tx_idx, sr_tx_m, sr_tx_slot = mk_send(send_right_tx, H, tx_local)
+    sl_tx_idx, sl_tx_m, sl_tx_slot = mk_send(send_left_tx, H, tx_local)
+    sr_bd_idx, sr_bd_m, sr_bd_slot = mk_send(send_right_bd, Hq, bd_local)
+    sl_bd_idx, sl_bd_m, sl_bd_slot = mk_send(send_left_bd, Hq, bd_local)
+
+    # extended index of a source node as seen from consumer shard d:
+    #   local -> tx_local[g]
+    #   from left (owner d-1, in owner's send_right) -> P + slot
+    #   from right (owner d+1, in owner's send_left) -> P + H + slot
+    def ext_tx_index(g, d):
+        if tx_shard[g] == d:
+            return tx_local[g]
+        if tx_shard[g] == d - 1:
+            return P_ + sr_tx_slot[d - 1][g]
+        if tx_shard[g] == d + 1:
+            return P_ + H + sl_tx_slot[d + 1][g]
+        return -1
+
+    def ext_bd_index(g, d):
+        if bd_shard[g] == d:
+            return bd_local[g]
+        if bd_shard[g] == d - 1:
+            return Q_ + sr_bd_slot[d - 1][g]
+        if bd_shard[g] == d + 1:
+            return Q_ + Hq + sl_bd_slot[d + 1][g]
+        return -1
+
+    # ------------------------------------------------------------------
+    # per-shard CSR tables in extended index space
+    # ------------------------------------------------------------------
+    def shard_csr(dst_rows_global, src_global, dst_shard_arr,
+                  dst_local_map, n_rows, ext_fn, k_round=4):
+        """Build per-shard padded CSR: entries grouped by dst shard."""
+        tables = []
+        for d in range(D):
+            sel = dst_shard_arr[dst_rows_global] == d
+            dsts = dst_local_map[dst_rows_global[sel]]
+            srcs = [ext_fn(g, d) for g in src_global[sel]]
+            keep = np.array([s >= 0 for s in srcs], bool) if srcs else \
+                np.zeros(0, bool)
+            dsts = dsts[keep]
+            srcs = np.array(srcs, np.int64)[keep] if len(srcs) else \
+                np.zeros(0, np.int64)
+            from ..ops.padded_csr import coo_to_padded_csr
+
+            tables.append((dsts, srcs))
+        kmax = 1
+        from ..ops.padded_csr import coo_to_padded_csr
+
+        for dsts, srcs in tables:
+            if dsts.size:
+                kmax = max(kmax, int(np.bincount(dsts).max()))
+        kmax = _round_up(kmax, k_round)
+        out = [
+            coo_to_padded_csr(d_, s_, n_dst=n_rows, k=kmax)
+            for d_, s_ in tables
+        ]
+        return out
+
+    tt_tables = shard_csr(
+        graph.tt_dst, graph.tt_src, tx_shard, tx_local, P_, ext_tx_index
+    )
+    tb_tables = shard_csr(
+        graph.sg_dst, graph.sg_src, bd_shard, bd_local, Q_, ext_tx_index,
+        k_round=8,
+    )
+    # cand: rows tx (local), entries bd (extended)
+    cand_tables = shard_csr(
+        graph.cand_src, graph.cand_dst, tx_shard, tx_local, P_,
+        ext_bd_index,
+    )
+
+    # sg COO per shard (dst bd local, src tx extended)
+    E_sg = _round_up(
+        max(
+            [1]
+            + [
+                int((bd_shard[graph.sg_dst] == d).sum())
+                for d in range(D)
+            ]
+        ),
+        256,
+    )
+
+    def padn(a, n, fill=0):
+        pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, pad, constant_values=fill)
+
+    tiles = []
+    bd_index_ext = np.full((D, Q_ + 2 * Hq), -1, np.int64)
+    for d in range(D):
+        txr, bdr = tx_rows[d], bd_rows[d]
+        ntx, nbd = txr.size, bdr.size
+        sel = bd_shard[graph.sg_dst] == d
+        sgs = np.array(
+            [ext_tx_index(g, d) for g in graph.sg_src[sel]], np.int64
+        ) if sel.any() else np.zeros(0, np.int64)
+        sgd = bd_local[graph.sg_dst[sel]]
+        keep = sgs >= 0
+        sgs, sgd = sgs[keep], sgd[keep]
+        n_sg = min(sgs.size, E_sg)
+
+        pos_tx = (graph.tx_pos[txr] - lo) / scale
+        pos_bd = (graph.bd_pos[bdr] - lo) / scale
+
+        tiles.append(
+            TileGraph(
+                tx_gene=padn(graph.tx_gene[txr], P_),
+                tx_pos=padn(pos_tx.astype(np.float32), P_),
+                tx_cluster=padn(graph.tx_cluster[txr], P_, -1),
+                tx_index=padn(
+                    graph.tx_index[txr].astype(np.int32), P_, -1
+                ),
+                tx_valid=padn(np.ones(ntx, bool), P_),
+                tx_interior=padn(np.ones(ntx, bool), P_),
+                bd_x=padn(graph.bd_x[bdr], Q_),
+                bd_pos=padn(pos_bd.astype(np.float32), Q_),
+                bd_cluster=padn(graph.bd_cluster[bdr], Q_, -1),
+                bd_index=padn(
+                    graph.bd_index[bdr].astype(np.int32), Q_, -1
+                ),
+                bd_valid=padn(np.ones(nbd, bool), Q_),
+                bd_interior=padn(np.ones(nbd, bool), Q_),
+                tt=tt_tables[d],
+                tb=tb_tables[d],
+                cand=cand_tables[d],
+                sg_src=padn(sgs[:n_sg].astype(np.int32), E_sg),
+                sg_dst=padn(sgd[:n_sg].astype(np.int32), E_sg),
+                sg_mask=padn(np.ones(n_sg, bool), E_sg),
+            )
+        )
+        # static extended bd_index for prediction
+        bd_index_ext[d, :nbd] = graph.bd_index[bdr]
+        if d - 1 >= 0:
+            for g, j in sr_bd_slot[d - 1].items():
+                bd_index_ext[d, Q_ + j] = graph.bd_index[g]
+        if d + 1 < D:
+            for g, j in sl_bd_slot[d + 1].items():
+                bd_index_ext[d, Q_ + Hq + j] = graph.bd_index[g]
+
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *tiles)
+    halo = HaloSpec(
+        tx_send_left=sl_tx_idx,
+        tx_send_left_mask=sl_tx_m,
+        tx_send_right=sr_tx_idx,
+        tx_send_right_mask=sr_tx_m,
+        bd_send_left=sl_bd_idx,
+        bd_send_left_mask=sl_bd_m,
+        bd_send_right=sr_bd_idx,
+        bd_send_right_mask=sr_bd_m,
+        bd_index_ext=bd_index_ext,
+    )
+    return stacked, halo, dropped
+
+
+# ----------------------------------------------------------------------
+# device side
+# ----------------------------------------------------------------------
+def _exchange_1d(x, send_left, send_left_mask, send_right,
+                 send_right_mask, axis: str, n_shards: int):
+    """Extend local features with halo copies from both strip neighbors.
+
+    Non-periodic 1D exchange: unaddressed receivers get zeros from
+    ppermute, and the CSR masks never reference them.
+    """
+    buf_to_right = jnp.where(
+        send_right_mask[:, None], x[send_right], 0.0
+    )
+    buf_to_left = jnp.where(send_left_mask[:, None], x[send_left], 0.0)
+    from_left = jax.lax.ppermute(
+        buf_to_right, axis,
+        [(i, i + 1) for i in range(n_shards - 1)],
+    )
+    from_right = jax.lax.ppermute(
+        buf_to_left, axis,
+        [(i + 1, i) for i in range(n_shards - 1)],
+    )
+    return jnp.concatenate([x, from_left, from_right], axis=0)
+
+
+def make_sharded_predict(
+    model,
+    params,
+    mesh: Mesh,
+    axis: str = "data",
+):
+    """Build a jitted shard_map whole-slide predict function.
+
+    Returns ``fn(stacked_tiles, halo) -> (tx_index, seg, max_sim, gene,
+    mask)`` with leading shard axis on every output.
+    """
+    n_shards = mesh.shape[axis]
+
+    def device_fn(tile: TileGraph, halo: HaloSpec):
+        # shard_map delivers (1, ...) blocks; drop/restore the axis
+        tile = jax.tree.map(lambda x: x[0], tile)
+        halo = jax.tree.map(lambda x: x[0], halo)
+
+        def exchange(x_tx, x_bd):
+            x_tx_ext = _exchange_1d(
+                x_tx, halo.tx_send_left, halo.tx_send_left_mask,
+                halo.tx_send_right, halo.tx_send_right_mask,
+                axis, n_shards,
+            )
+            x_bd_ext = _exchange_1d(
+                x_bd, halo.bd_send_left, halo.bd_send_left_mask,
+                halo.bd_send_right, halo.bd_send_right_mask,
+                axis, n_shards,
+            )
+            return x_tx_ext, x_bd_ext
+
+        emb = model.apply(
+            params, tile, deterministic=True, exchange=exchange,
+            pos_prenormalized=True,
+        )
+        # final bd exchange for candidate scoring (cand idx are extended)
+        x_bd_ext = _exchange_1d(
+            emb["bd"], halo.bd_send_left, halo.bd_send_left_mask,
+            halo.bd_send_right, halo.bd_send_right_mask, axis, n_shards,
+        )
+        from ..ops import csr_gather, csr_max
+
+        g = csr_gather(x_bd_ext, tile.cand)
+        tx = emb["tx"]
+        num = jnp.einsum("nf,nkf->nk", tx, g)
+        ntx = jnp.sqrt(
+            jnp.maximum((tx * tx).sum(-1, keepdims=True), 1e-16)
+        )
+        ng = jnp.sqrt(jnp.maximum((g * g).sum(-1), 1e-16))
+        sim = num / (ntx * ng)
+        max_sim, arg = csr_max(sim, tile.cand)
+        seg = jnp.where(arg >= 0, halo.bd_index_ext[arg], -1)
+        mask = tile.tx_valid
+        return jax.tree.map(
+            lambda x: x[None],
+            (
+                tile.tx_index, seg.astype(jnp.int32), max_sim,
+                tile.tx_gene, mask,
+            ),
+        )
+
+    spec = P(axis)
+    fn = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_predict(
+    model, params, graph: HostGraph, mesh: Mesh, axis: str = "data"
+):
+    """End-to-end: build shards, run the exchange-overlapped forward,
+    gather flat prediction arrays on host."""
+    n = mesh.shape[axis]
+    stacked, halo, dropped = build_sharded_graph(graph, n)
+    if dropped.any():
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "halo partition dropped %s non-adjacent-shard edges "
+            "(tt, sg, cand)", dropped.tolist(),
+        )
+    sharding = NamedSharding(mesh, P(axis))
+    stacked = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x), sharding), stacked
+    )
+    halo = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x), sharding), halo
+    )
+    fn = make_sharded_predict(model, params, mesh, axis)
+    idx, seg, sim, gene, mask = jax.tree.map(np.asarray, fn(stacked, halo))
+    m = mask.ravel()
+    return {
+        "row_index": idx.ravel()[m],
+        "cell_encoding": seg.ravel()[m],
+        "similarity": sim.ravel()[m],
+        "gene": gene.ravel()[m],
+    }

@@ -383,3 +383,19 @@ class SeggerTrainer:
             out["gene"].append(gene.ravel()[m])
         return {k: np.concatenate(v) if v else np.zeros(0)
                 for k, v in out.items()}
+
+    # ------------------------------------------------------------------
+    def predict_whole_slide(self, mesh=None) -> Dict[str, np.ndarray]:
+        """Distributed whole-slide prediction via halo exchange: the
+        graph is strip-partitioned over the mesh and boundary features
+        are ppermuted per layer — exact (no margins/dedupe), the
+        TPU-native replacement for halo-tile prediction
+        (``segger_tpu.parallel.halo``)."""
+        from ..parallel.halo import sharded_predict
+
+        mesh = mesh or self.mesh
+        if mesh is None:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        return sharded_predict(self.model, self.params, self.graph, mesh)
