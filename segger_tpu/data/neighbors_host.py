@@ -35,10 +35,33 @@ def kdtree_neighbors(
     max_dist: float = np.inf,
     chunk_size: int = 2_000_000,
     query: Optional[np.ndarray] = None,
+    backend: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Chunked kNN: returns COO ``(rows, cols)`` with rows = query index,
     cols = neighbor index into ``points`` (reference: neighbors.py:122-163;
-    leafsize and chunking match)."""
+    leafsize and chunking match).
+
+    ``backend='native'`` (or 'auto' with a finite ``max_dist``) uses the
+    C++ uniform-grid kNN (``csrc/spatial.cpp``) — faster than a KDTree
+    for the bounded-radius queries the transcript graph uses.
+    """
+    if backend in ("auto", "native"):
+        from .. import native
+
+        if native.available() and (
+            backend == "native" or np.isfinite(max_dist)
+        ):
+            idx = native.grid_knn(
+                points, max_k=max_k, max_dist=max_dist, query=query
+            )
+            valid = idx >= 0
+            rows = np.repeat(
+                np.arange(idx.shape[0], dtype=np.int64), idx.shape[1]
+            ).reshape(idx.shape)
+            return rows[valid], idx[valid].astype(np.int64)
+        if backend == "native":
+            raise ImportError("native spatial core not available")
+
     q = points if query is None else query
     n_pts = points.shape[0]
     tree = KDTree(points, leafsize=100)

@@ -79,18 +79,16 @@ def points_in_polygons(
     polygon bounding radius keeps the exact test O(candidates).
     """
     points = np.asarray(points, dtype=np.float64)
-    tree = KDTree(points)
     if distances is None:
         distances = np.zeros(len(polygons))
 
-    # native C++ fast path (built lazily; falls back to numpy)
-    try:
-        from .native import points_in_polygons_native
+    # native C++ fast path (grid-hash join, built lazily on first use)
+    from .. import native
 
-        return points_in_polygons_native(points, polygons, distances, tree)
-    except ImportError:
-        pass
+    if native.available():
+        return native.points_in_polygons(points, polygons, distances)
 
+    tree = KDTree(points)
     p_idx, g_idx = [], []
     for gi, poly in enumerate(polygons):
         poly = np.asarray(poly, dtype=np.float64)

@@ -1,0 +1,183 @@
+"""Native (C++) spatial core: lazy-compiled, ctypes-bound.
+
+The reference delegates its spatial hot paths to cuSpatial/cuML CUDA
+libraries; segger-tpu's host equivalents live in ``csrc/spatial.cpp``
+(uniform-grid hash join, fixed-radius kNN, Morton codes) and are
+compiled on first use with the system toolchain.  Everything has a
+NumPy fallback — the native core is a performance layer, not a
+correctness dependency.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = Path(__file__).resolve().parents[2] / "csrc" / "spatial.cpp"
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_lib() -> Optional[ctypes.CDLL]:
+    """Compile (once, content-hashed cache) and load the native core."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("SEGGER_TPU_NO_NATIVE"):
+        return None
+    if not _SRC.exists():
+        return None
+    try:
+        digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+        cache = Path(
+            os.environ.get(
+                "SEGGER_TPU_CACHE",
+                Path.home() / ".cache" / "segger_tpu",
+            )
+        )
+        cache.mkdir(parents=True, exist_ok=True)
+        so = cache / f"_spatial_{digest}.so"
+        if not so.exists():
+            tmp = so.with_suffix(".tmp.so")
+            cmd = [
+                "g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                "-fPIC", str(_SRC), "-o", str(tmp),
+            ]
+            logger.info("building native spatial core: %s", " ".join(cmd))
+            res = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=300
+            )
+            if res.returncode != 0:
+                logger.warning(
+                    "native build failed, using NumPy fallback:\n%s",
+                    res.stderr[-2000:],
+                )
+                return None
+            os.replace(tmp, so)
+        lib = ctypes.CDLL(str(so))
+        lib.sgt_points_in_polygons.restype = ctypes.c_int64
+        lib.sgt_version.restype = ctypes.c_int
+        assert lib.sgt_version() == 1
+        _LIB = lib
+    except Exception as e:  # pragma: no cover
+        logger.warning("native core unavailable (%s); NumPy fallback", e)
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _build_lib() is not None
+
+
+def _ptr(a, typ):
+    return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def points_in_polygons(
+    points: np.ndarray,
+    polygons,
+    distances: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Grid-hash spatial join; returns (point_idx, polygon_idx)."""
+    lib = _build_lib()
+    if lib is None:
+        raise ImportError("native spatial core not available")
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    n_polys = len(polygons)
+    offsets = np.zeros(n_polys + 1, dtype=np.int64)
+    for i, p in enumerate(polygons):
+        offsets[i + 1] = offsets[i] + len(p)
+    verts = (
+        np.ascontiguousarray(
+            np.concatenate([np.asarray(p, np.float64) for p in polygons])
+        )
+        if n_polys
+        else np.zeros((0, 2))
+    )
+    dists = (
+        np.ascontiguousarray(distances, dtype=np.float64)
+        if distances is not None
+        else np.zeros(n_polys)
+    )
+    capacity = max(len(pts) * 2, 1024)
+    while True:
+        out_pt = np.empty(capacity, dtype=np.int64)
+        out_poly = np.empty(capacity, dtype=np.int64)
+        count = lib.sgt_points_in_polygons(
+            _ptr(pts, ctypes.c_double), ctypes.c_int64(len(pts)),
+            _ptr(verts, ctypes.c_double), _ptr(offsets, ctypes.c_int64),
+            ctypes.c_int64(n_polys), _ptr(dists, ctypes.c_double),
+            _ptr(out_pt, ctypes.c_int64), _ptr(out_poly, ctypes.c_int64),
+            ctypes.c_int64(capacity),
+        )
+        if count <= capacity:
+            return out_pt[:count].copy(), out_poly[:count].copy()
+        capacity = count + 1024
+
+
+def grid_knn(
+    points: np.ndarray,
+    max_k: int,
+    max_dist: float = np.inf,
+    query: Optional[np.ndarray] = None,
+    return_dist: bool = False,
+):
+    """Fixed-radius kNN neighbor table (nq, k), -1 padded."""
+    lib = _build_lib()
+    if lib is None:
+        raise ImportError("native spatial core not available")
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    q = pts if query is None else np.ascontiguousarray(
+        query, dtype=np.float64
+    )
+    out = np.empty((len(q), max_k), dtype=np.int64)
+    dist = np.empty((len(q), max_k), dtype=np.float64) if return_dist \
+        else None
+    lib.sgt_grid_knn(
+        _ptr(pts, ctypes.c_double), ctypes.c_int64(len(pts)),
+        _ptr(q, ctypes.c_double), ctypes.c_int64(len(q)),
+        ctypes.c_int32(max_k), ctypes.c_double(max_dist),
+        _ptr(out, ctypes.c_int64),
+        _ptr(dist, ctypes.c_double) if return_dist else None,
+    )
+    return (out, dist) if return_dist else out
+
+
+def morton_codes(points: np.ndarray) -> np.ndarray:
+    """Z-order codes for spatial-locality sorting."""
+    lib = _build_lib()
+    if lib is None:
+        # NumPy fallback
+        pts = np.asarray(points, dtype=np.float64)
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0)
+        scale = np.where(hi > lo, (2**31 - 1) / (hi - lo), 0)
+        g = ((pts - lo) * scale).astype(np.uint64)
+
+        def spread(v):
+            v &= np.uint64(0xFFFFFFFF)
+            v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+            v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+            v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+            v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+            v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+            return v
+
+        return spread(g[:, 0]) | (spread(g[:, 1]) << np.uint64(1))
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    out = np.empty(len(pts), dtype=np.uint64)
+    lib.sgt_morton_codes(
+        _ptr(pts, ctypes.c_double), ctypes.c_int64(len(pts)),
+        _ptr(out, ctypes.c_uint64),
+    )
+    return out
