@@ -6,12 +6,17 @@ src/segger/models/ist_encoder.py:109-134) on a Xenium-tile-scale graph:
 50k transcripts (the reference's default tile budget,
 data_module.py:155), kNN k=5, 2.5k boundary nodes.
 
+Timing: median of per-call blocked latencies (includes dispatch) and
+pipelined steady-state (50 async dispatches / barrier).  The headline
+value uses the blocked median — the honest per-step number.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": R}
 ``vs_baseline`` is the ratio to a 1e9 edges/s nominal target (the
 reference publishes no numbers — BASELINE.md).
 """
 import json
+import statistics
 import time
 
 import numpy as np
@@ -20,7 +25,7 @@ import numpy as np
 def build_tile(n_tx=50_000, n_bd=2_500, n_genes=400, f_bd=128, seed=0):
     import jax
     import jax.numpy as jnp
-    from segger_tpu.ops import coo_to_padded_csr
+    from segger_tpu.ops import coo_to_padded_csr, transpose_csr
     from segger_tpu.data.graph import TileGraph
     from segger_tpu.data.neighbors_host import kdtree_neighbors
 
@@ -49,21 +54,49 @@ def build_tile(n_tx=50_000, n_bd=2_500, n_genes=400, f_bd=128, seed=0):
         bd_index=np.arange(n_bd, dtype=np.int32),
         bd_valid=np.ones(n_bd, bool),
         bd_interior=np.ones(n_bd, bool),
-        tt=coo_to_padded_csr(dst, src, n_dst=n_tx, pad_to_multiple=8),
-        tb=coo_to_padded_csr(sg_dst, sg_src, n_dst=n_bd,
-                             pad_to_multiple=8),
+        tt=(tt := coo_to_padded_csr(dst, src, n_dst=n_tx,
+                                    pad_to_multiple=8)),
+        tb=(tb := coo_to_padded_csr(sg_dst, sg_src, n_dst=n_bd,
+                                    pad_to_multiple=8)),
         cand=coo_to_padded_csr(cand_src, cand_dst, n_dst=n_tx, k=4),
         sg_src=sg_src.astype(np.int32),
         sg_dst=sg_dst.astype(np.int32),
         sg_mask=np.ones(sg_src.size, bool),
+        tt_t=transpose_csr(tt, n_src=n_tx),
+        tb_t=transpose_csr(tb, n_src=n_tx),
     )
     return jax.tree.map(jnp.asarray, tile)
+
+
+def _blocked_median_ms(fn, iters=15):
+    import jax
+
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts) * 1e3
+
+
+def _pipelined_ms(fn, iters=50):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    import optax
     from segger_tpu.models import ISTEncoder
+    from segger_tpu.models import losses as L
 
     tile = build_tile()
     n_layers = 4  # 2 + n_mid_layers
@@ -74,21 +107,56 @@ def main():
     params = model.init(jax.random.PRNGKey(0), tile)
 
     fwd = jax.jit(lambda p, t: model.apply(p, t))
-    out = fwd(params, tile)
-    jax.block_until_ready(out)
+    jax.block_until_ready(fwd(params, tile))  # compile
 
-    # steady-state timing
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, tile)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    fwd_blocked = _blocked_median_ms(lambda: fwd(params, tile))
+    fwd_pipelined = _pipelined_ms(lambda: fwd(params, tile))
+
+    # full training step (fwd + 3 losses + grads + adam)
+    tx_sim = jnp.eye(20) * 2 - 1
+    bd_sim = jnp.eye(12) * 2 - 1
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, t, key):
+        k_drop, k_tx, k_bd, k_sg = jax.random.split(key, 4)
+        emb = model.apply(p, t, deterministic=False,
+                          rngs={"dropout": k_drop})
+        s1, c1 = L.triplet_loss(
+            k_tx, emb["tx"], t.tx_cluster,
+            t.tx_interior & t.tx_valid, tx_sim, 0.3,
+        )
+        s2, c2 = L.metric_loss(
+            k_bd, emb["bd"], t.bd_cluster,
+            t.bd_interior & t.bd_valid, bd_sim,
+        )
+        s3, c3 = L.segmentation_loss(
+            k_sg, emb["tx"], emb["bd"], t.sg_src, t.sg_dst, t.sg_mask,
+            t.bd_valid.sum(),
+        )
+        return (
+            s1 / jnp.maximum(c1, 1)
+            + s2 / jnp.maximum(c2, 1)
+            + s3 / jnp.maximum(c3, 1)
+        )
+
+    @jax.jit
+    def train_step(p, o, t, key):
+        loss, grads = jax.value_and_grad(loss_fn)(p, t, key)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    key = jax.random.PRNGKey(1)
+    p2, o2, _ = train_step(params, opt_state, tile, key)
+    jax.block_until_ready(p2)
+    train_blocked = _blocked_median_ms(
+        lambda: train_step(params, opt_state, tile, key)[2]
+    )
 
     e_tt = int(np.asarray(tile.tt.mask).sum())
     e_tb = int(np.asarray(tile.tb.mask).sum())
     edges_per_layer = e_tt + e_tb
-    edges_per_sec = edges_per_layer * n_layers / dt
+    edges_per_sec = edges_per_layer * n_layers / (fwd_blocked / 1e3)
 
     result = {
         "metric": "edges/sec/chip (SpMM+SDDMM, hetero-GATv2 fwd, "
@@ -97,7 +165,12 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / 1e9, 4),
         "detail": {
-            "step_ms": round(dt * 1e3, 3),
+            "fwd_blocked_ms": round(fwd_blocked, 3),
+            "fwd_pipelined_ms": round(fwd_pipelined, 3),
+            "train_step_blocked_ms": round(train_blocked, 3),
+            "train_edges_per_sec": round(
+                edges_per_layer * n_layers / (train_blocked / 1e3), 0
+            ),
             "edges_per_layer": edges_per_layer,
             "n_layers": n_layers,
             "device": str(jax.devices()[0]),

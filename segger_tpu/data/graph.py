@@ -63,6 +63,12 @@ class TileGraph:
     # edge type, so it never runs (SURVEY Appendix); kept for generality.
     bt: Optional[PaddedCSR] = None
 
+    # optional transpose tables (src-keyed slot positions) enabling the
+    # scatter-free gather backward during training (ops.csr_gather_t);
+    # prediction-only tiles omit them.
+    tt_t: Optional[PaddedCSR] = None
+    tb_t: Optional[PaddedCSR] = None
+
     @property
     def n_tx(self) -> int:
         return self.tx_gene.shape[0]

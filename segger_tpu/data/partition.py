@@ -20,7 +20,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..geometry.quadtree import QuadTree
-from ..ops.padded_csr import coo_to_padded_csr, PaddedCSR
+from ..ops.padded_csr import coo_to_padded_csr, transpose_csr, PaddedCSR
 from .assemble import HostGraph
 from .graph import TileGraph
 
@@ -40,12 +40,57 @@ class TileSpec:
 
 
 def build_tiling(
-    graph: HostGraph, nodes_per_tile: int = 50_000
+    graph: HostGraph,
+    nodes_per_tile: int = 50_000,
+    mode: str = "adaptive",
+    side_length: float = 250.0,
 ) -> QuadTree:
-    """Adaptive quadtree over tx+bd positions jointly
-    (reference: data_module.py:244-252)."""
+    """Tiling over tx+bd positions jointly
+    (reference: data_module.py:242-262).
+
+    ``mode='adaptive'``: density-adaptive quadtree capping nodes/tile.
+    ``mode='square'``: fixed-size grid (the reference keeps this for
+    benchmarking only; tiling.py:238-300) — expressed as a QuadTree with
+    grid leaves so downstream code is identical.
+    """
     pos = np.vstack([graph.tx_pos, graph.bd_pos])
-    return QuadTree.build(pos, max_leaf_size=nodes_per_tile)
+    if mode == "adaptive":
+        return QuadTree.build(pos, max_leaf_size=nodes_per_tile)
+    if mode == "square":
+        return square_tiling(pos, side_length)
+    raise ValueError(f"Unrecognized tiling strategy: '{mode}'.")
+
+
+def square_tiling(pos: np.ndarray, side_length: float) -> QuadTree:
+    """Fixed-size grid tiling as a QuadTree-shaped object
+    (reference: tiling.py:238-300)."""
+    x0, y0 = pos.min(axis=0)
+    x1, y1 = pos.max(axis=0)
+    eps = max(x1 - x0, y1 - y0, 1.0) * 1e-9
+    x1, y1 = x1 + eps, y1 + eps
+    nx = max(1, int(np.ceil((x1 - x0) / side_length)))
+    ny = max(1, int(np.ceil((y1 - y0) / side_length)))
+    leaves = []
+    for gy in range(ny):
+        for gx in range(nx):
+            leaves.append(
+                (
+                    x0 + gx * side_length,
+                    y0 + gy * side_length,
+                    min(x0 + (gx + 1) * side_length, x1),
+                    min(y0 + (gy + 1) * side_length, y1),
+                )
+            )
+    tree = QuadTree(
+        bounds=np.array([x0, y0, x1, y1]),
+        leaf_bounds=np.array(leaves, dtype=np.float64),
+        leaf_counts=np.zeros(len(leaves), dtype=np.int64),
+        max_leaf_size=0,
+    )
+    tree.leaf_counts = np.bincount(
+        tree.label(pos), minlength=tree.n_leaves
+    )
+    return tree
 
 
 def make_fit_tiles(
@@ -142,6 +187,8 @@ class BucketShape:
     k_tb: int
     k_cand: int
     e_sg: int
+    k_tt_t: int = 8   # transpose widths (max out-degree per src node)
+    k_tb_t: int = 4
 
 
 def _subselect_edges(src, dst, tx_map, bd_map=None):
@@ -178,6 +225,9 @@ def tile_bucket(
         k_tb=_round_up(deg(sg_d, spec.bd_rows.size), 8),
         k_cand=_round_up(deg(ca_s, spec.tx_rows.size), 4),
         e_sg=_round_up(sg_s.size, 256),
+        # transpose widths = max out-degree per source node
+        k_tt_t=_round_up(deg(tt_s, spec.tx_rows.size), 4),
+        k_tb_t=_round_up(deg(sg_s, spec.tx_rows.size), 4),
     )
 
 
@@ -190,6 +240,8 @@ def merge_buckets(shapes: Sequence[BucketShape]) -> BucketShape:
         k_tb=max(s.k_tb for s in shapes),
         k_cand=max(s.k_cand for s in shapes),
         e_sg=max(s.e_sg for s in shapes),
+        k_tt_t=max(s.k_tt_t for s in shapes),
+        k_tb_t=max(s.k_tb_t for s in shapes),
     )
 
 
@@ -222,6 +274,9 @@ def extract_tile(
     tb = coo_to_padded_csr(sg_d, sg_s, n_dst=bucket.n_bd, k=bucket.k_tb)
     # candidates keyed per-tx: rows are tx, idx entries are bd rows
     cand = coo_to_padded_csr(ca_s, ca_d, n_dst=bucket.n_tx, k=bucket.k_cand)
+    # transpose tables for the scatter-free training backward
+    tt_t = transpose_csr(tt, n_src=bucket.n_tx, k=bucket.k_tt_t)
+    tb_t = transpose_csr(tb, n_src=bucket.n_tx, k=bucket.k_tb_t)
 
     e_sg = bucket.e_sg
     n_sg = min(sg_s.size, e_sg)
@@ -251,6 +306,8 @@ def extract_tile(
         sg_src=padn(sg_s[:n_sg].astype(np.int32), e_sg),
         sg_dst=padn(sg_d[:n_sg].astype(np.int32), e_sg),
         sg_mask=padn(np.ones(n_sg, bool), e_sg),
+        tt_t=tt_t,
+        tb_t=tb_t,
     )
 
 
@@ -293,6 +350,14 @@ def empty_tile(bucket: BucketShape, f_bd: int) -> TileGraph:
         sg_src=z(bucket.e_sg, np.int32),
         sg_dst=z(bucket.e_sg, np.int32),
         sg_mask=z(bucket.e_sg, bool),
+        tt_t=PaddedCSR(
+            idx=z((bucket.n_tx, bucket.k_tt_t), np.int32),
+            mask=z((bucket.n_tx, bucket.k_tt_t), bool),
+        ),
+        tb_t=PaddedCSR(
+            idx=z((bucket.n_tx, bucket.k_tb_t), np.int32),
+            mask=z((bucket.n_tx, bucket.k_tb_t), bool),
+        ),
     )
 
 

@@ -106,3 +106,37 @@ def points_in_polygons(
     if not p_idx:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     return np.concatenate(p_idx), np.concatenate(g_idx)
+
+
+def polygons_in_polygons(
+    inner: Sequence[np.ndarray],
+    outer: Sequence[np.ndarray],
+    mode: str = "centroid",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Polygon-in-polygon join (reference: geometry/query.py:244-285,
+    a geopandas sjoin).
+
+    ``mode='centroid'`` joins by inner-polygon centroid containment (the
+    practical predicate for cell-in-tile assignment); ``mode='all'``
+    requires every inner vertex inside the outer polygon.
+
+    Returns (inner_idx, outer_idx) COO arrays.
+    """
+    cents = np.array(
+        [np.asarray(p).mean(axis=0) for p in inner]
+    ).reshape(-1, 2)
+    if mode == "centroid":
+        return points_in_polygons(cents, outer)
+    if mode == "all":
+        p_idx, o_idx = [], []
+        for oi, op in enumerate(outer):
+            op = np.asarray(op)
+            for ii, ip in enumerate(inner):
+                if points_in_polygon(np.asarray(ip), op).all():
+                    p_idx.append(ii)
+                    o_idx.append(oi)
+        return (
+            np.asarray(p_idx, np.int64),
+            np.asarray(o_idx, np.int64),
+        )
+    raise ValueError(f"Unknown mode: {mode!r}")

@@ -95,8 +95,17 @@ class HeteroGATLayer(nn.Module):
         conv_tb = GATv2Conv(
             self.out_channels, self.heads, dropout=self.dropout, name="tb"
         )
-        out_tx = conv_tt(x_tx_src, x_tx, tile.tt, deterministic)
-        out_bd = conv_tb(x_tx_src, x_bd, tile.tb, deterministic)
+        # transpose tables only apply when sources == local destinations
+        # (halo-extended sources use the forward-only path)
+        same_src = x_tx_src is x_tx
+        out_tx = conv_tt(
+            x_tx_src, x_tx, tile.tt, deterministic,
+            csr_t=tile.tt_t if same_src else None,
+        )
+        out_bd = conv_tb(
+            x_tx_src, x_bd, tile.tb, deterministic,
+            csr_t=tile.tb_t if same_src else None,
+        )
         if self.use_bd_to_tx and tile.bt is not None:
             conv_bt = GATv2Conv(
                 self.out_channels, self.heads, dropout=self.dropout, name="bt"

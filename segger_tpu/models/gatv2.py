@@ -43,7 +43,11 @@ class GATv2Conv(nn.Module):
         x_dst: jnp.ndarray,
         csr: PaddedCSR,
         deterministic: bool = True,
+        csr_t: PaddedCSR | None = None,
     ) -> jnp.ndarray:
+        """``csr_t``: optional transpose table enabling the scatter-free
+        gather backward (required for fast training on TPU; see
+        ops.gather_agg.csr_gather_t)."""
         h, c = self.heads, self.out_channels
         glorot = nn.initializers.glorot_uniform()
         lin_l = nn.Dense(h * c, kernel_init=glorot, name="lin_l")
@@ -57,7 +61,12 @@ class GATv2Conv(nn.Module):
         xl = lin_l(x_src)  # (N_src, H*C)
         xr = lin_r(x_dst)  # (N_dst, H*C)
 
-        g = jnp.take(xl, csr.idx, axis=0)  # (N_dst, K, H*C)
+        if csr_t is not None:
+            from ..ops import csr_gather_t
+
+            g = csr_gather_t(xl, csr, csr_t)  # (N_dst, K, H*C)
+        else:
+            g = jnp.take(xl, csr.idx, axis=0)
         s = g + xr[:, None, :]
         s = nn.leaky_relu(s, self.negative_slope)
         s = s.reshape(*s.shape[:-1], h, c)

@@ -1,6 +1,13 @@
-from .padded_csr import PaddedCSR, coo_to_padded_csr, padded_csr_to_coo, pad_rows
+from .padded_csr import (
+    PaddedCSR,
+    coo_to_padded_csr,
+    padded_csr_to_coo,
+    transpose_csr,
+    pad_rows,
+)
 from .gather_agg import (
     csr_gather,
+    csr_gather_t,
     csr_spmm,
     csr_sddmm,
     csr_softmax,
@@ -14,8 +21,10 @@ __all__ = [
     "PaddedCSR",
     "coo_to_padded_csr",
     "padded_csr_to_coo",
+    "transpose_csr",
     "pad_rows",
     "csr_gather",
+    "csr_gather_t",
     "csr_spmm",
     "csr_sddmm",
     "csr_softmax",

@@ -115,6 +115,40 @@ def csr_max(
     return max_val, arg
 
 
+@jax.custom_vjp
+def csr_gather_t(x_src, csr: PaddedCSR, csr_t: PaddedCSR):
+    """Gather with a scatter-free backward.
+
+    Forward is :func:`csr_gather`; the VJP routes cotangents through the
+    precomputed transpose table ``csr_t`` (see
+    :func:`segger_tpu.ops.padded_csr.transpose_csr`) as another gather +
+    masked row-sum.  XLA's default transpose-of-gather is a scatter-add,
+    which *serializes* on TPU (~400x slower than the forward at
+    Xenium-tile scale); this keeps the backward on the same
+    gather/VPU-reduce path as the forward.
+    """
+    return jnp.take(x_src, csr.idx, axis=0)
+
+
+def _csr_gather_t_fwd(x_src, csr, csr_t):
+    return jnp.take(x_src, csr.idx, axis=0), (csr, csr_t, x_src.shape)
+
+
+def _csr_gather_t_bwd(res, g_grad):
+    csr, csr_t, src_shape = res
+    n_dst, k = csr.idx.shape
+    # zero out cotangents on invalid slots, flatten to (N_dst*K, F)
+    flat = jnp.where(csr.mask[..., None], g_grad, 0).reshape(
+        n_dst * k, *g_grad.shape[2:]
+    )
+    rows = jnp.take(flat, csr_t.idx, axis=0)  # (N_src, K_T, F)
+    grad_x = jnp.where(csr_t.mask[..., None], rows, 0).sum(axis=1)
+    return grad_x, None, None
+
+
+csr_gather_t.defvjp(_csr_gather_t_fwd, _csr_gather_t_bwd)
+
+
 def segment_sum(data, segment_ids, num_segments):
     """COO-path segment sum (used off the hot path / in tests)."""
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)

@@ -126,6 +126,36 @@ def padded_csr_to_coo(csr: PaddedCSR) -> tuple[np.ndarray, np.ndarray]:
     return rows[mask], idx[mask].astype(np.int64)
 
 
+def transpose_csr(
+    csr: PaddedCSR, n_src: int, k: Optional[int] = None,
+    pad_to_multiple: int = 4,
+) -> PaddedCSR:
+    """Transpose table: for each *source* node, the flattened slot
+    positions (dst * K + k) of the edges it feeds (host side).
+
+    This is the gradient routing table for :func:`gather-based backward
+    <segger_tpu.ops.gather_agg.csr_gather_t>`: the VJP of a padded-CSR
+    gather gathers the cotangent rows through this table instead of
+    scatter-adding — scatters serialize on TPU, gathers vectorize.
+    """
+    idx = np.asarray(csr.idx)
+    mask = np.asarray(csr.mask)
+    n_dst, kk = idx.shape
+    flat_pos = np.arange(n_dst * kk, dtype=np.int64)[mask.ravel()]
+    srcs = idx.ravel()[mask.ravel()].astype(np.int64)
+    if k is not None and srcs.size:
+        max_out = int(np.bincount(srcs, minlength=n_src).max())
+        if k < max_out:
+            raise ValueError(
+                f"transpose width k={k} < max out-degree {max_out}: "
+                "a truncated transpose table drops gradients"
+            )
+    return coo_to_padded_csr(
+        srcs, flat_pos, n_dst=n_src, k=k,
+        pad_to_multiple=pad_to_multiple,
+    )
+
+
 def pad_rows(csr: PaddedCSR, n_dst: int) -> PaddedCSR:
     """Pad the table to ``n_dst`` rows (all-invalid rows appended)."""
     idx = np.asarray(csr.idx)

@@ -16,6 +16,32 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (pod slices over DCN).
+
+    Thin wrapper over ``jax.distributed.initialize`` — on Cloud TPU pods
+    all arguments are auto-detected from the environment; pass them
+    explicitly for custom launchers.  After this, ``jax.devices()``
+    spans every host and the mesh/halo machinery in this package works
+    unchanged across hosts (collectives ride ICI within a slice, DCN
+    across slices).  SURVEY §5.8.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence] = None,

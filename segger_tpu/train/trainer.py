@@ -67,6 +67,10 @@ class TrainConfig:
     training_fraction: float = 0.75
     tiles_per_step: int = 1
     seed: int = 0
+    # mid-training checkpointing (the reference has none — SURVEY §5.4;
+    # runs are short, but whole-slide jobs warrant resume)
+    checkpoint_every: int = 0          # epochs; 0 = end only via caller
+    checkpoint_dir: Optional[str] = None
 
 
 class SeggerTrainer:
@@ -316,7 +320,23 @@ class SeggerTrainer:
             [cfg.tx_weight_end, cfg.bd_weight_end, cfg.sg_weight_end]
         )
 
-        for epoch in range(max_epochs):
+        start_epoch = 0
+        if cfg.checkpoint_dir:
+            from pathlib import Path
+
+            from .checkpoint import load_checkpoint
+
+            latest = Path(cfg.checkpoint_dir) / "latest.npz"
+            if latest.exists():
+                self.params, self.opt_state, meta = load_checkpoint(
+                    latest, self.params, self.opt_state
+                )
+                start_epoch = int(
+                    meta.get("extra", {}).get("epoch", -1)
+                ) + 1
+                logger.info("resumed from epoch %d", start_epoch)
+
+        for epoch in range(start_epoch, max_epochs):
             weights = jnp.asarray(
                 L.cosine_weight_schedule(epoch, max_epochs, w_start, w_end)
             )
@@ -357,6 +377,22 @@ class SeggerTrainer:
                 )
             logger.info("epoch %d: %s", epoch, rec)
             self.history.append(rec)
+            if (
+                cfg.checkpoint_dir
+                and cfg.checkpoint_every
+                and (epoch + 1) % cfg.checkpoint_every == 0
+            ):
+                from pathlib import Path
+
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    Path(cfg.checkpoint_dir) / "latest.npz",
+                    self.params,
+                    self.opt_state,
+                    config=self.cfg,
+                    extra={"epoch": epoch},
+                )
         return self.history
 
     # ------------------------------------------------------------------

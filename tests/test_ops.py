@@ -8,7 +8,9 @@ from segger_tpu.ops import (
     PaddedCSR,
     coo_to_padded_csr,
     padded_csr_to_coo,
+    transpose_csr,
     csr_gather,
+    csr_gather_t,
     csr_spmm,
     csr_sddmm,
     csr_softmax,
@@ -148,6 +150,58 @@ def test_csr_max_empty_rows_get_minus_one(rng):
     assert arg[0] == 1  # src of the 0.9 slot
     assert arg[2] == 4
     np.testing.assert_allclose(mx[0], 0.9)
+
+
+def test_transpose_csr_roundtrip(rng):
+    """Every valid forward slot appears exactly once in the transpose."""
+    n_src, n_dst = 25, 18
+    dst, src = random_coo(rng, n_src, n_dst, 120)
+    csr = coo_to_padded_csr(dst, src, n_dst=n_dst)
+    csr_t = transpose_csr(csr, n_src=n_src)
+    # collect (src, flat_pos) pairs from transpose
+    idx_t, mask_t = np.asarray(csr_t.idx), np.asarray(csr_t.mask)
+    pairs = set()
+    for s in range(n_src):
+        for t in range(idx_t.shape[1]):
+            if mask_t[s, t]:
+                pairs.add((s, int(idx_t[s, t])))
+    # expected: for each valid forward slot (d, k) with src s
+    idx_f, mask_f = np.asarray(csr.idx), np.asarray(csr.mask)
+    want = set()
+    k = idx_f.shape[1]
+    for d in range(n_dst):
+        for kk in range(k):
+            if mask_f[d, kk]:
+                want.add((int(idx_f[d, kk]), d * k + kk))
+    assert pairs == want
+
+
+def test_csr_gather_t_grad_matches_plain_gather(rng):
+    """The transpose-table (scatter-free) backward is numerically
+    identical to XLA's scatter-add transpose of the gather."""
+    n_src, n_dst, f = 30, 22, 8
+    dst, src = random_coo(rng, n_src, n_dst, 150)
+    csr = coo_to_padded_csr(dst, src, n_dst=n_dst)
+    csr_t = transpose_csr(csr, n_src=n_src)
+    x = jnp.asarray(rng.normal(size=(n_src, f)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(*csr.idx.shape, f)).astype(np.float32)
+    )
+
+    def loss_plain(x):
+        g = csr_gather(x, csr)
+        return jnp.where(csr.mask[..., None], g * w, 0).sum()
+
+    def loss_t(x):
+        g = csr_gather_t(x, csr, csr_t)
+        return jnp.where(csr.mask[..., None], g * w, 0).sum()
+
+    np.testing.assert_allclose(
+        np.asarray(loss_plain(x)), np.asarray(loss_t(x)), rtol=1e-5
+    )
+    g1 = np.asarray(jax.grad(loss_plain)(x))
+    g2 = np.asarray(jax.grad(loss_t)(x))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
 
 
 def test_grad_flows_through_spmm(rng):

@@ -1,0 +1,103 @@
+"""Trainer extras: mesh-sharded fit, checkpoint/resume, square tiling,
+polygon-polygon join, profiling utilities."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from segger_tpu.data.synthetic import make_synthetic
+from segger_tpu.pipeline import ISTPipeline, PipelineConfig
+from segger_tpu.train.trainer import SeggerTrainer, TrainConfig
+from segger_tpu.data.partition import (
+    make_fit_tiles,
+    build_tiling,
+    square_tiling,
+)
+
+
+@pytest.fixture(scope="module")
+def small_pipeline():
+    s = make_synthetic(n_cells=100, n_genes=24, mean_tx_per_cell=15,
+                       seed=5)
+    cfg = PipelineConfig(
+        cells_embedding_size=8, genes_min_counts=8, cells_min_counts=4,
+        tiling_nodes_per_tile=1500, tiling_margin_training=8.0,
+        prediction_graph_mode="uniform",
+    )
+    return ISTPipeline(
+        s.transcripts, s.boundaries, s.polygons, cfg
+    ).load()
+
+
+def test_mesh_sharded_fit(small_pipeline):
+    """Training with the stacked-tile batch sharded over 4 devices."""
+    from segger_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    tr = SeggerTrainer(
+        small_pipeline.graph,
+        TrainConfig(
+            hidden_channels=8, out_channels=8, n_mid_layers=0,
+            n_heads=1, max_epochs=1, tiles_per_step=4, seed=0,
+        ),
+        mesh=mesh,
+    )
+    tiles = make_fit_tiles(small_pipeline.graph, small_pipeline.tree,
+                           margin=8.0)
+    hist = tr.fit(tiles, max_epochs=1)
+    assert np.isfinite(hist[0]["train:loss"])
+
+
+def test_checkpoint_resume(small_pipeline, tmp_path):
+    cfg = TrainConfig(
+        hidden_channels=8, out_channels=8, n_mid_layers=0, n_heads=1,
+        max_epochs=2, seed=0, checkpoint_every=1,
+        checkpoint_dir=str(tmp_path),
+    )
+    tiles = make_fit_tiles(small_pipeline.graph, small_pipeline.tree,
+                           margin=8.0)
+    tr = SeggerTrainer(small_pipeline.graph, cfg)
+    tr.fit(tiles, max_epochs=2)
+    assert (tmp_path / "latest.npz").exists()
+
+    # resume: a fresh trainer continues from epoch 2
+    tr2 = SeggerTrainer(small_pipeline.graph, cfg)
+    hist2 = tr2.fit(tiles, max_epochs=3)
+    assert [h["epoch"] for h in hist2] == [2]
+
+
+def test_square_tiling_exactly_once(rng):
+    pos = rng.uniform(0, 100, (3000, 2))
+    tree = square_tiling(pos, side_length=25.0)
+    assert tree.is_exactly_once(pos)
+    labels = tree.label(pos)
+    assert (labels >= 0).all()
+    assert tree.n_leaves == 16
+
+
+def test_polygons_in_polygons(rng):
+    from segger_tpu.geometry.query import polygons_in_polygons
+
+    def square(cx, cy, half):
+        return np.array(
+            [[cx - half, cy - half], [cx + half, cy - half],
+             [cx + half, cy + half], [cx - half, cy + half]]
+        )
+
+    inner = [square(1, 1, 0.5), square(5, 5, 0.5), square(20, 20, 0.5)]
+    outer = [square(1, 1, 2), square(5, 5, 2)]
+    ii, oo = polygons_in_polygons(inner, outer)
+    assert set(zip(ii.tolist(), oo.tolist())) == {(0, 0), (1, 1)}
+
+
+def test_stage_timer():
+    import time
+
+    from segger_tpu.utils_profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("work", items=100):
+        time.sleep(0.01)
+    s = t.summary()
+    assert s["work"]["calls"] == 1
+    assert s["work"]["seconds"] >= 0.01
+    assert s["work"]["rate"] > 0
