@@ -73,6 +73,10 @@ class GATv2Conv(nn.Module):
         logits = (s * att[None]).sum(-1)  # (N_dst, K, H)
 
         alpha = csr_softmax(logits, csr)  # masked row softmax
+        # attention introspection: the padded-CSR analogue of the
+        # reference's forward-hook capture (ist_encoder.py:137-158);
+        # retrieve via capture_intermediates / mutable=['intermediates']
+        self.sow("intermediates", "attention", alpha)
         if self.dropout > 0.0 and not deterministic:
             alpha = nn.Dropout(rate=self.dropout, deterministic=False)(alpha)
 
