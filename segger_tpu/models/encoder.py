@@ -61,6 +61,26 @@ def torch_linear_bias_init(fan_in: int):
     return init
 
 
+class DenseGradEmbed(nn.Module):
+    """Embedding lookup with a matmul backward (parameter layout matches
+    ``nn.Embed``: a single 'embedding' table, so pretrained installs and
+    checkpoints are interchangeable)."""
+
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.embed import embed_lookup
+
+        table = self.param(
+            "embedding",
+            nn.initializers.normal(1.0),
+            (self.num_embeddings, self.features),
+        )
+        return embed_lookup(table, ids.astype(jnp.int32))
+
+
 class HeteroGATLayer(nn.Module):
     """One SkipGAT-equivalent layer: per-edge-type GATv2, summed per
     destination node type (HeteroConv aggr='sum',
@@ -143,8 +163,9 @@ class ISTEncoder(nn.Module):
         locally it is None and sources == destinations.
         ``pos_prenormalized``: coordinates are already in [0, 1]."""
         # First projection: gene embedding lookup / bd linear
-        # (ist_encoder.py:258-263,312)
-        gene_emb = nn.Embed(
+        # (ist_encoder.py:258-263,312).  Lookup uses the matmul-backward
+        # embed op (scatters serialize on TPU; ops/embed.py)
+        gene_emb = DenseGradEmbed(
             self.n_genes, self.in_channels, name="gene_embedding"
         )
         bd_lin = nn.Dense(self.in_channels, name="bd_linear")

@@ -23,6 +23,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.gather_agg import take_rows
+
 
 class TripletSample(NamedTuple):
     positives: jnp.ndarray   # (N,) int32 anchor indices of positives
@@ -135,8 +137,8 @@ def triplet_loss(
     """
     s = sample_triplets(rng, labels, valid, similarity)
     a = embeddings
-    p = embeddings[s.positives]
-    ng = embeddings[s.negatives]
+    p = take_rows(embeddings, s.positives)
+    ng = take_rows(embeddings, s.negatives)
     dp = jnp.sqrt(jnp.sum((a - p) ** 2, axis=-1) + 1e-12)
     dn = jnp.sqrt(jnp.sum((a - ng) ** 2, axis=-1) + 1e-12)
     per = jnp.maximum(dp - dn + margin, 0.0)
@@ -158,8 +160,8 @@ def metric_loss(
     """
     s = sample_triplets(rng, labels, valid, similarity)
     a = embeddings
-    p = embeddings[s.positives]
-    ng = embeddings[s.negatives]
+    p = take_rows(embeddings, s.positives)
+    ng = take_rows(embeddings, s.negatives)
 
     def cos(u, v):
         # NaN-safe at zero vectors (clamped-sqrt denominators)
@@ -203,16 +205,17 @@ def segmentation_loss(
     m = sg_mask & enabled
 
     if loss_type == "triplet":
-        a = emb_tx[sg_src]
-        p = emb_bd[sg_dst]
-        ng = emb_bd[dst_neg]
+        a = take_rows(emb_tx, sg_src)
+        p = take_rows(emb_bd, sg_dst)
+        ng = take_rows(emb_bd, dst_neg)
         dp = jnp.sqrt(jnp.sum((a - p) ** 2, axis=-1) + 1e-12)
         dn = jnp.sqrt(jnp.sum((a - ng) ** 2, axis=-1) + 1e-12)
         per = jnp.maximum(dp - dn + margin, 0.0)
         return _masked_mean(per, m)
     elif loss_type == "bce":
-        logit_pos = (emb_tx[sg_src] * emb_bd[sg_dst]).sum(-1)
-        logit_neg = (emb_tx[sg_src] * emb_bd[dst_neg]).sum(-1)
+        e_src = take_rows(emb_tx, sg_src)
+        logit_pos = (e_src * take_rows(emb_bd, sg_dst)).sum(-1)
+        logit_neg = (e_src * take_rows(emb_bd, dst_neg)).sum(-1)
         # BCEWithLogits: softplus(-x) for label 1, softplus(x) for label 0
         lp = jax.nn.softplus(-logit_pos)
         ln = jax.nn.softplus(logit_neg)

@@ -116,6 +116,50 @@ def csr_max(
 
 
 @jax.custom_vjp
+def take_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather ``x[idx]`` with a sort-based (scatter-free) backward.
+
+    XLA's transpose of a dynamic gather is a scatter-add that serializes
+    on TPU.  Since ``idx`` here is traced (e.g. sampled triplets inside
+    jit), no host-precomputed transpose table exists; instead the VJP
+    computes the segment sum with sort + cumsum + searchsorted — all
+    vectorized TPU ops:
+
+        order    = argsort(idx)
+        csum     = cumsum(g[order])
+        grad_x[v] = csum[end_v - 1] - csum[start_v - 1]
+
+    where [start_v, end_v) locate v's block in the sorted index array.
+    """
+    return jnp.take(x, idx, axis=0)
+
+
+def _take_rows_fwd(x, idx):
+    return jnp.take(x, idx, axis=0), (idx, x.shape[0])
+
+
+def _take_rows_bwd(res, g):
+    idx, n = res
+    order = jnp.argsort(idx)
+    sorted_idx = idx[order]
+    sorted_g = jnp.take(g, order, axis=0)
+    csum = jnp.cumsum(sorted_g, axis=0)
+    nodes = jnp.arange(n)
+    start = jnp.searchsorted(sorted_idx, nodes, side="left")
+    end = jnp.searchsorted(sorted_idx, nodes, side="right")
+    # inclusive prefix: sum over [start, end) = csum[end-1] - csum[start-1]
+    zero = jnp.zeros((1, *g.shape[1:]), g.dtype)
+    csum_pad = jnp.concatenate([zero, csum], axis=0)  # csum_pad[i]=sum<i
+    grad_x = jnp.take(csum_pad, end, axis=0) - jnp.take(
+        csum_pad, start, axis=0
+    )
+    return grad_x, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+@jax.custom_vjp
 def csr_gather_t(x_src, csr: PaddedCSR, csr_t: PaddedCSR):
     """Gather with a scatter-free backward.
 

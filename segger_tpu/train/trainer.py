@@ -242,13 +242,14 @@ class SeggerTrainer:
         return predict_step
 
     # ------------------------------------------------------------------
-    def make_batches(
+    def _batch_plans(
         self,
         tiles: Sequence[TileSpec],
         shuffle: bool,
         rng: Optional[np.random.Generator] = None,
-    ) -> List[TileGraph]:
-        """Pack tile specs into stacked fixed-shape batches.
+    ):
+        """Bin-pack tile specs into stacked-batch plans (spec lists +
+        merged bucket shapes).
 
         Edge-budget bin-packing doubles as shape bucketing: tiles packed
         into one bin share a merged bucket (SURVEY §7; reference budget
@@ -263,21 +264,52 @@ class SeggerTrainer:
         )
         kwargs = {"rng": rng} if shuffle else {}
         bins = packer(values, self.cfg.edges_per_batch, **kwargs)
-        batches = []
-        f_bd = self.graph.bd_x.shape[1]
+        plans = []
+        m = self.cfg.tiles_per_step
         for bin_idx in bins:
             specs = [tiles[i] for i in bin_idx]
             shapes = [tile_bucket(self.graph, s) for s in specs]
             bucket = merge_buckets(shapes)
-            tgs = [extract_tile(self.graph, s, bucket) for s in specs]
-            # round tile count to a multiple of tiles_per_step with
-            # empty (all-masked) tiles
-            m = self.cfg.tiles_per_step
-            while len(tgs) % m:
-                tgs.append(empty_tile(bucket, f_bd))
-            for s in range(0, len(tgs), m):
-                batches.append(stack_tiles(tgs[s : s + m]))
-        return batches
+            for s in range(0, len(specs), m):
+                plans.append((specs[s : s + m], bucket))
+        return plans
+
+    def _build_batch(self, plan) -> TileGraph:
+        specs, bucket = plan
+        f_bd = self.graph.bd_x.shape[1]
+        tgs = [extract_tile(self.graph, s, bucket) for s in specs]
+        # round tile count to a multiple of tiles_per_step with empty
+        # (all-masked) tiles
+        while len(tgs) % self.cfg.tiles_per_step:
+            tgs.append(empty_tile(bucket, f_bd))
+        return stack_tiles(tgs)
+
+    def iter_batches(
+        self,
+        tiles: Sequence[TileSpec],
+        shuffle: bool,
+        rng: Optional[np.random.Generator] = None,
+        prefetch: int = 2,
+    ):
+        """Stream stacked batches with background-thread extraction
+        (overlaps host tile building with device compute — the
+        DataLoader-worker analogue, reference data_module.py:346-366)."""
+        from .prefetch import PrefetchIterator
+
+        plans = self._batch_plans(tiles, shuffle, rng)
+        return PrefetchIterator(plans, self._build_batch, depth=prefetch)
+
+    def make_batches(
+        self,
+        tiles: Sequence[TileSpec],
+        shuffle: bool,
+        rng: Optional[np.random.Generator] = None,
+    ) -> List[TileGraph]:
+        """Eagerly materialize all batches (small runs / templates)."""
+        return [
+            self._build_batch(p)
+            for p in self._batch_plans(tiles, shuffle, rng)
+        ]
 
     # ------------------------------------------------------------------
     def fit(
@@ -340,7 +372,7 @@ class SeggerTrainer:
             weights = jnp.asarray(
                 L.cosine_weight_schedule(epoch, max_epochs, w_start, w_end)
             )
-            batches = self.make_batches(train_tiles, shuffle=True, rng=rng)
+            batches = self.iter_batches(train_tiles, shuffle=True, rng=rng)
             ep_loss = []
             for batch in batches:
                 key, sub = jax.random.split(key)
@@ -404,7 +436,7 @@ class SeggerTrainer:
         transcripts (reference: lightning_model.py:263-298)."""
         if self._predict_step is None:
             self._predict_step = self._build_predict_step()
-        batches = self.make_batches(predict_tiles, shuffle=False)
+        batches = self.iter_batches(predict_tiles, shuffle=False)
         out = {k: [] for k in ("row_index", "cell_encoding",
                                "similarity", "gene")}
         for batch in batches:
