@@ -91,6 +91,7 @@ class HeteroGATLayer(nn.Module):
     dropout: float = 0.2
     add_self_loops_tx: bool = False  # parity: reference default is False
     use_bd_to_tx: bool = False
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(
@@ -110,10 +111,12 @@ class HeteroGATLayer(nn.Module):
         if x_bd_src is None:
             x_bd_src = x_bd
         conv_tt = GATv2Conv(
-            self.out_channels, self.heads, dropout=self.dropout, name="tt"
+            self.out_channels, self.heads, dropout=self.dropout,
+            dtype=self.dtype, name="tt"
         )
         conv_tb = GATv2Conv(
-            self.out_channels, self.heads, dropout=self.dropout, name="tb"
+            self.out_channels, self.heads, dropout=self.dropout,
+            dtype=self.dtype, name="tb"
         )
         # transpose tables only apply when sources == local destinations
         # (halo-extended sources use the forward-only path)
@@ -147,6 +150,8 @@ class ISTEncoder(nn.Module):
     use_positional_embeddings: bool = True
     use_bd_to_tx: bool = False
     attn_dropout: float = 0.2
+    dtype: jnp.dtype | None = None  # compute dtype (e.g. jnp.bfloat16);
+                                    # params stay float32
 
     @nn.compact
     def __call__(
@@ -199,6 +204,7 @@ class ISTEncoder(nn.Module):
                 heads=self.n_heads,
                 dropout=self.attn_dropout,
                 use_bd_to_tx=self.use_bd_to_tx,
+                dtype=self.dtype,
                 name=f"conv_{i}",
             )
             if exchange is not None:

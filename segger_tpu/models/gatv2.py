@@ -35,6 +35,9 @@ class GATv2Conv(nn.Module):
     negative_slope: float = 0.2
     dropout: float = 0.0
     share_weights: bool = False
+    dtype: jnp.dtype | None = None  # compute dtype (bf16 halves HBM
+                                    # traffic of the edge stage); params
+                                    # stay float32
 
     @nn.compact
     def __call__(
@@ -50,23 +53,43 @@ class GATv2Conv(nn.Module):
         ops.gather_agg.csr_gather_t)."""
         h, c = self.heads, self.out_channels
         glorot = nn.initializers.glorot_uniform()
-        lin_l = nn.Dense(h * c, kernel_init=glorot, name="lin_l")
+        lin_l = nn.Dense(
+            h * c, kernel_init=glorot, dtype=self.dtype, name="lin_l"
+        )
         if self.share_weights:
             lin_r = lin_l
         else:
-            lin_r = nn.Dense(h * c, kernel_init=glorot, name="lin_r")
+            lin_r = nn.Dense(
+                h * c, kernel_init=glorot, dtype=self.dtype, name="lin_r"
+            )
         att = self.param("att", glorot, (1, h, c))
         bias = self.param("bias", nn.initializers.zeros, (h * c,))
+        if self.dtype is not None:
+            att = att.astype(self.dtype)
 
         xl = lin_l(x_src)  # (N_src, H*C)
         xr = lin_r(x_dst)  # (N_dst, H*C)
 
         if csr_t is not None:
-            from ..ops import csr_gather_t
+            # fused edge stage with the hand-derived low-traffic
+            # backward (ops/edge_stage.py).  Attention introspection is
+            # only sown on the unfused path below.
+            from ..ops.edge_stage import gatv2_edge_stage
 
-            g = csr_gather_t(xl, csr, csr_t)  # (N_dst, K, H*C)
-        else:
-            g = jnp.take(xl, csr.idx, axis=0)
+            if self.dropout > 0.0 and not deterministic:
+                rng = self.make_rng("dropout")
+                keep = jax.random.bernoulli(
+                    rng, 1.0 - self.dropout, (*csr.idx.shape, h)
+                ).astype(xl.dtype) / (1.0 - self.dropout)
+            else:
+                keep = jnp.ones((*csr.idx.shape, h), xl.dtype)
+            out = gatv2_edge_stage(
+                xl, xr, att[0], keep, csr, csr_t,
+                (h, self.negative_slope),
+            )
+            return out + bias
+
+        g = jnp.take(xl, csr.idx, axis=0)
         s = g + xr[:, None, :]
         s = nn.leaky_relu(s, self.negative_slope)
         s = s.reshape(*s.shape[:-1], h, c)

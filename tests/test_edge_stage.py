@@ -1,0 +1,124 @@
+"""Fused edge stage: forward + hand-derived backward vs autodiff."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segger_tpu.ops import coo_to_padded_csr, transpose_csr, csr_softmax
+from segger_tpu.ops.edge_stage import gatv2_edge_stage
+
+
+def setup(rng, n_src=40, n_dst=30, heads=2, ch=8, e=150, k=16, k_t=16):
+    hc = heads * ch
+    dst = rng.integers(0, n_dst, e)
+    src = rng.integers(0, n_src, e)
+    pairs = np.unique(np.stack([dst, src], 1), axis=0)
+    csr = coo_to_padded_csr(pairs[:, 0], pairs[:, 1], n_dst=n_dst, k=k)
+    csr_t = transpose_csr(csr, n_src=n_src, k=k_t)
+    xl = jnp.asarray(rng.normal(size=(n_src, hc)).astype(np.float32))
+    xr = jnp.asarray(rng.normal(size=(n_dst, hc)).astype(np.float32))
+    att = jnp.asarray(rng.normal(size=(heads, ch)).astype(np.float32))
+    return xl, xr, att, csr, csr_t, heads, ch
+
+
+def autodiff_reference(xl, xr, att, keep, csr, heads, ch):
+    n_dst, k = csr.idx.shape
+    g = jnp.take(xl, csr.idx, axis=0)
+    p = g + xr[:, None, :]
+    s = jnp.where(p > 0, p, 0.2 * p)
+    sh = s.reshape(n_dst, k, heads, ch)
+    logits = jnp.einsum("nkhc,hc->nkh", sh, att)
+    alpha = csr_softmax(logits, csr) * keep
+    gh = g.reshape(n_dst, k, heads, ch)
+    return jnp.einsum("nkh,nkhc->nhc", alpha, gh).reshape(n_dst, -1)
+
+
+def test_forward_matches_autodiff_path(rng):
+    xl, xr, att, csr, csr_t, heads, ch = setup(rng)
+    keep = jnp.ones((*csr.idx.shape, heads), jnp.float32)
+    got = gatv2_edge_stage(xl, xr, att, keep, csr, csr_t, (heads, 0.2))
+    want = autodiff_reference(xl, xr, att, keep, csr, heads, ch)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_backward_matches_autodiff(rng):
+    xl, xr, att, csr, csr_t, heads, ch = setup(rng)
+    keep = jnp.ones((*csr.idx.shape, heads), jnp.float32)
+    w = jnp.asarray(
+        rng.normal(size=(csr.idx.shape[0], heads * ch)).astype(np.float32)
+    )
+
+    def loss_fused(xl, xr, att):
+        out = gatv2_edge_stage(
+            xl, xr, att, keep, csr, csr_t, (heads, 0.2)
+        )
+        return (out * w).sum()
+
+    def loss_auto(xl, xr, att):
+        return (autodiff_reference(xl, xr, att, keep, csr, heads, ch)
+                * w).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(xl, xr, att)
+    g2 = jax.grad(loss_auto, argnums=(0, 1, 2))(xl, xr, att)
+    for a, b, name in zip(g1, g2, ("xl", "xr", "att")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5,
+            err_msg=name,
+        )
+
+
+def test_backward_with_dropout_mask(rng):
+    xl, xr, att, csr, csr_t, heads, ch = setup(rng)
+    keep = jnp.asarray(
+        (rng.uniform(size=(*csr.idx.shape, heads)) < 0.8).astype(
+            np.float32
+        ) / 0.8
+    )
+    w = jnp.asarray(
+        rng.normal(size=(csr.idx.shape[0], heads * ch)).astype(np.float32)
+    )
+
+    def loss_fused(xl):
+        return (gatv2_edge_stage(
+            xl, xr, att, keep, csr, csr_t, (heads, 0.2)
+        ) * w).sum()
+
+    def loss_auto(xl):
+        return (autodiff_reference(xl, xr, att, keep, csr, heads, ch)
+                * w).sum()
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_fused)(xl)),
+        np.asarray(jax.grad(loss_auto)(xl)),
+        rtol=2e-4, atol=1e-5,
+    )
+
+
+def test_vmap_over_tiles(rng):
+    """The fused op must vmap (stacked-tile training batches)."""
+    xs = []
+    for i in range(3):
+        xs.append(setup(np.random.default_rng(i)))
+    xl = jnp.stack([x[0] for x in xs])
+    xr = jnp.stack([x[1] for x in xs])
+    att = xs[0][2]
+    import jax.tree_util as jtu
+
+    csr = jtu.tree_map(lambda *a: jnp.stack(a), *[x[3] for x in xs])
+    csr_t = jtu.tree_map(lambda *a: jnp.stack(a), *[x[4] for x in xs])
+    heads = xs[0][5]
+    keep = jnp.ones((3, *xs[0][3].idx.shape, heads), jnp.float32)
+
+    def f(xl, xr, keep, csr, csr_t):
+        return gatv2_edge_stage(
+            xl, xr, att, keep, csr, csr_t, (heads, 0.2)
+        ).sum()
+
+    val = jax.vmap(f)(xl, xr, keep, csr, csr_t)
+    assert val.shape == (3,)
+    g = jax.grad(lambda xl: jax.vmap(f)(xl, xr, keep, csr, csr_t).sum())(
+        xl
+    )
+    assert np.isfinite(np.asarray(g)).all()
