@@ -71,6 +71,10 @@ class TrainConfig:
     # runs are short, but whole-slide jobs warrant resume)
     checkpoint_every: int = 0          # epochs; 0 = end only via caller
     checkpoint_dir: Optional[str] = None
+    # run up to this many optimizer steps inside one jitted lax.scan
+    # (amortizes per-call dispatch latency; batches must share shapes,
+    # which the bucketed packer provides). 0 = one dispatch per step.
+    scan_steps: int = 0
 
 
 class SeggerTrainer:
@@ -210,6 +214,27 @@ class SeggerTrainer:
         def eval_step(params, batch, key, weights):
             return loss_fn(params, batch, key, weights)
 
+        @jax.jit
+        def scan_train(params, opt_state, batches, keys, weights):
+            """S optimizer steps in one dispatch (lax.scan over a
+            super-stacked batch with leading step axis)."""
+
+            def body(carry, xs):
+                p, o = carry
+                batch, key = xs
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(p, batch, key, weights)
+                updates, o = self.tx.update(grads, o, p)
+                p = optax.apply_updates(p, updates)
+                return (p, o), jnp.stack([loss, *aux])
+
+            (params, opt_state), metrics = jax.lax.scan(
+                body, (params, opt_state), (batches, keys)
+            )
+            return params, opt_state, metrics
+
+        self._scan_train = scan_train
         return train_step, eval_step
 
     # ------------------------------------------------------------------
@@ -374,15 +399,23 @@ class SeggerTrainer:
             )
             batches = self.iter_batches(train_tiles, shuffle=True, rng=rng)
             ep_loss = []
-            for batch in batches:
-                key, sub = jax.random.split(key)
-                batch = self._device_put(batch)
-                self.params, self.opt_state, loss, aux = self._train_step(
-                    self.params, self.opt_state, batch, sub, weights
+            if cfg.scan_steps > 1:
+                key, ep_loss = self._run_scanned_epoch(
+                    batches, key, weights
                 )
-                ep_loss.append(
-                    [float(loss)] + [float(a) for a in aux]
-                )
+            else:
+                for batch in batches:
+                    key, sub = jax.random.split(key)
+                    batch = self._device_put(batch)
+                    self.params, self.opt_state, loss, aux = (
+                        self._train_step(
+                            self.params, self.opt_state, batch, sub,
+                            weights,
+                        )
+                    )
+                    ep_loss.append(
+                        [float(loss)] + [float(a) for a in aux]
+                    )
             rec = {
                 "epoch": epoch,
                 "train:loss": float(np.mean([r[0] for r in ep_loss])),
@@ -426,6 +459,46 @@ class SeggerTrainer:
                     extra={"epoch": epoch},
                 )
         return self.history
+
+    # ------------------------------------------------------------------
+    def _run_scanned_epoch(self, batches, key, weights):
+        """Group shape-identical batches and run them scan_steps at a
+        time inside single dispatches."""
+        ep_loss = []
+        groups: Dict[tuple, list] = {}
+        for batch in batches:
+            sig = tuple(
+                (tuple(x.shape), str(x.dtype))
+                for x in jax.tree.leaves(batch)
+            )
+            groups.setdefault(sig, []).append(batch)
+        for group in groups.values():
+            s = self.cfg.scan_steps
+            for i in range(0, len(group), s):
+                chunk = group[i : i + s]
+                stacked = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *chunk
+                )
+                stacked = self._device_put_scan(stacked)
+                key, *subs = jax.random.split(key, len(chunk) + 1)
+                keys = jnp.stack(subs)
+                self.params, self.opt_state, metrics = self._scan_train(
+                    self.params, self.opt_state, stacked, keys, weights
+                )
+                for row in np.asarray(metrics):
+                    ep_loss.append([float(v) for v in row])
+        return key, ep_loss
+
+    def _device_put_scan(self, stacked):
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # step axis replicated, tile axis sharded
+            sharding = NamedSharding(self.mesh, P(None, "data"))
+            return jax.tree.map(
+                lambda x: jax.device_put(x, sharding), stacked
+            )
+        return jax.tree.map(jnp.asarray, stacked)
 
     # ------------------------------------------------------------------
     def predict(
