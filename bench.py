@@ -140,18 +140,30 @@ def main():
             + s3 / jnp.maximum(c3, 1)
         )
 
+    # train step timed as a 5-step lax.scan chain inside one dispatch
+    # (per-call dispatch latency through the tunneled backend is large
+    # and unstable; chaining isolates device time)
+    n_chain = 5
+
     @jax.jit
-    def train_step(p, o, t, key):
-        loss, grads = jax.value_and_grad(loss_fn)(p, t, key)
-        updates, o = opt.update(grads, o, p)
-        return optax.apply_updates(p, updates), o, loss
+    def train_chain(p, o, t, keys):
+        def body(carry, key):
+            p, o = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, t, key)
+            updates, o = opt.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+
+        (p, o), losses = jax.lax.scan(body, (p, o), keys)
+        return p, o, losses
 
     key = jax.random.PRNGKey(1)
-    p2, o2, _ = train_step(params, opt_state, tile, key)
+    keys = jax.random.split(key, n_chain)
+    p2, o2, _ = train_chain(params, opt_state, tile, keys)
     jax.block_until_ready(p2)
     train_blocked = _blocked_median_ms(
-        lambda: train_step(params, opt_state, tile, key)[2]
-    )
+        lambda: train_chain(params, opt_state, tile, keys)[2],
+        iters=6,
+    ) / n_chain
 
     e_tt = int(np.asarray(tile.tt.mask).sum())
     e_tb = int(np.asarray(tile.tb.mask).sum())

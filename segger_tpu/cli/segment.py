@@ -26,7 +26,9 @@ _PIPELINE_NAMES = [
     "prediction_graph_mode",
     "prediction_graph_max_k",
     "prediction_graph_buffer_ratio",
+    "tiling_mode",
     "tiling_nodes_per_tile",
+    "tiling_side_length",
     "tiling_margin_training",
     "tiling_margin_prediction",
     "gene_corr_reference_path",

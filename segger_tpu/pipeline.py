@@ -50,7 +50,9 @@ class PipelineConfig:
     prediction_graph_mode: Literal["nucleus", "cell", "uniform"] = "cell"
     prediction_graph_max_k: int = 3
     prediction_graph_buffer_ratio: float = 0.05
+    tiling_mode: Literal["adaptive", "square"] = "adaptive"
     tiling_nodes_per_tile: int = 50_000
+    tiling_side_length: float = 250.0
     tiling_margin_training: float = 20.0
     tiling_margin_prediction: float = 20.0
     gene_corr_reference_path: Optional[Path] = None
@@ -175,9 +177,13 @@ class ISTPipeline:
             else None,
         )
 
-        logger.info("tiling (%d nodes/tile)", cfg.tiling_nodes_per_tile)
+        logger.info("tiling (%s, %d nodes/tile)", cfg.tiling_mode,
+                    cfg.tiling_nodes_per_tile)
         self.tree = build_tiling(
-            self.graph, nodes_per_tile=cfg.tiling_nodes_per_tile
+            self.graph,
+            nodes_per_tile=cfg.tiling_nodes_per_tile,
+            mode=cfg.tiling_mode,
+            side_length=cfg.tiling_side_length,
         )
         return self
 
