@@ -1,0 +1,99 @@
+"""CosMX reader test with fabricated label-mask TIFFs."""
+import numpy as np
+import pandas as pd
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from segger_tpu.io import get_preprocessor, StandardTranscriptFields
+
+
+@pytest.fixture()
+def cosmx_dir(tmp_path):
+    """Two FOVs, two cells each: cell labels + compartment labels +
+    positions + transcripts."""
+    h = w = 100
+    mpp = 0.12028
+
+    (tmp_path / "CellLabels").mkdir()
+    (tmp_path / "CompartmentLabels").mkdir()
+
+    rng = np.random.default_rng(0)
+    tx_rows = []
+    for fov in (1, 2):
+        labels = np.zeros((h, w), dtype=np.uint16)
+        comp = np.zeros((h, w), dtype=np.uint8)
+        # two square cells per fov with nuclear cores
+        for cid, (y0, x0) in enumerate([(10, 10), (60, 60)], start=1):
+            labels[y0 : y0 + 25, x0 : x0 + 25] = cid
+            comp[y0 : y0 + 25, x0 : x0 + 25] = 3  # cytoplasm
+            comp[y0 + 8 : y0 + 17, x0 + 8 : x0 + 17] = 1  # nucleus
+        cv2.imwrite(str(tmp_path / "CellLabels" /
+                        f"CellLabels_F{fov:03d}.tif"), labels)
+        cv2.imwrite(str(tmp_path / "CompartmentLabels" /
+                        f"CompartmentLabels_F{fov:03d}.tif"), comp)
+
+        # transcripts in pixel-global coordinates
+        for cid, (y0, x0) in enumerate([(10, 10), (60, 60)], start=1):
+            for _ in range(10):
+                px = x0 + rng.uniform(2, 23)
+                py = y0 + rng.uniform(2, 23)
+                tx_rows.append(
+                    (fov, f"G{rng.integers(0, 5)}",
+                     (fov - 1) * w + px, py, cid, "Cytoplasm")
+                )
+        # extracellular noise
+        tx_rows.append((fov, "G0", (fov - 1) * w + 5, 95, 0, "None"))
+
+    pd.DataFrame(
+        tx_rows,
+        columns=["fov", "target", "x_global_px", "y_global_px", "cell",
+                 "CellComp"],
+    ).to_csv(tmp_path / "Run1_tx_file.csv", index=False)
+
+    pd.DataFrame(
+        {"FOV": [1, 2], "x_global_px": [0, w], "y_global_px": [0, 0]}
+    ).to_csv(tmp_path / "Run1_fov_positions_file.csv", index=False)
+    return tmp_path
+
+
+def test_cosmx_reader(cosmx_dir):
+    pp = get_preprocessor(cosmx_dir)
+    assert type(pp).__name__ == "CosMXPreprocessor"
+
+    tx = pp.transcripts
+    f = StandardTranscriptFields()
+    assert len(tx) == 42
+    # extracellular rows have no cell id
+    extra = tx[tx[f.compartment] == f.extracellular_value]
+    assert len(extra) == 2 and extra[f.cell_id].isna().all()
+    # composite cell ids
+    assigned = tx[tx[f.cell_id].notna()]
+    assert set(assigned[f.cell_id]) == {
+        "c_1_1", "c_1_2", "c_2_1", "c_2_2"
+    }
+
+    bd, polys = pp.boundaries
+    # 4 cells + 4 nuclei
+    from segger_tpu.io.fields import StandardBoundaryFields
+
+    b = StandardBoundaryFields()
+    assert (bd[b.boundary_type] == b.cell_value).sum() == 4
+    assert (bd[b.boundary_type] == b.nucleus_value).sum() == 4
+    assert bd[b.contains_nucleus].all()
+    # polygon scale: 25 px cell ~ 3 um side at 0.12028 mpp
+    poly = polys[("c_1_1", b.cell_value)]
+    side = poly[:, 0].max() - poly[:, 0].min()
+    assert 2.0 < side < 4.0
+
+
+def test_cosmx_preflight(cosmx_dir):
+    from segger_tpu.io.cosmx import check_cosmx_directory
+
+    check_cosmx_directory(cosmx_dir)  # passes
+
+    # remove one TIFF -> preflight fails
+    victim = next((cosmx_dir / "CellLabels").glob("*F002*"))
+    victim.unlink()
+    with pytest.raises(IOError, match="Missing"):
+        check_cosmx_directory(cosmx_dir)
