@@ -53,6 +53,7 @@ _TRAIN_NAMES = [
     "update_gene_embedding",
     "use_positional_embeddings",
     "normalize_embeddings",
+    "compute_dtype",
     "max_epochs",
     "edges_per_batch",
     "training_fraction",

@@ -69,6 +69,16 @@ class TileGraph:
     tt_t: Optional[PaddedCSR] = None
     tb_t: Optional[PaddedCSR] = None
 
+    # optional host-precomputed triplet-sampler block structure (cluster
+    # labels and loss masks are static per tile; computing the argsort
+    # on device costs a ~16 ms while-loop per 50k nodes):
+    #   *_sampler_sorted: node rows sorted by (masked) cluster
+    #   *_sampler_counts: valid members per cluster (length = n clusters)
+    tx_sampler_sorted: Optional[jnp.ndarray] = None
+    tx_sampler_counts: Optional[jnp.ndarray] = None
+    bd_sampler_sorted: Optional[jnp.ndarray] = None
+    bd_sampler_counts: Optional[jnp.ndarray] = None
+
     @property
     def n_tx(self) -> int:
         return self.tx_gene.shape[0]

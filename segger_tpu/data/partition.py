@@ -245,6 +245,23 @@ def merge_buckets(shapes: Sequence[BucketShape]) -> BucketShape:
     )
 
 
+def _sampler_structure(
+    clusters: np.ndarray, interior: np.ndarray, n_local: int,
+    n_pad: int, n_clusters: int,
+):
+    """Host-precomputed triplet-sampler block layout for one tile: node
+    rows sorted by cluster among loss-valid nodes (interior & clustered),
+    padding-last, plus per-cluster valid counts."""
+    valid = np.zeros(n_pad, bool)
+    valid[:n_local] = interior & (clusters[:n_local] >= 0)
+    lab = np.where(valid, np.clip(clusters, 0, None), n_clusters)
+    sorted_idx = np.argsort(lab[:n_pad], kind="stable").astype(np.int32)
+    counts = np.bincount(
+        lab[valid], minlength=n_clusters
+    )[:n_clusters].astype(np.int32)
+    return sorted_idx, counts
+
+
 def extract_tile(
     graph: HostGraph, spec: TileSpec, bucket: BucketShape
 ) -> TileGraph:
@@ -278,6 +295,18 @@ def extract_tile(
     tt_t = transpose_csr(tt, n_src=bucket.n_tx, k=bucket.k_tt_t)
     tb_t = transpose_csr(tb, n_src=bucket.n_tx, k=bucket.k_tb_t)
 
+    # sampler block structure (avoids per-step device argsorts)
+    tx_ss, tx_sc = _sampler_structure(
+        padn(graph.tx_cluster[spec.tx_rows], bucket.n_tx, -1),
+        spec.tx_interior, ntx, bucket.n_tx,
+        graph.tx_similarity.shape[0],
+    )
+    bd_ss, bd_sc = _sampler_structure(
+        padn(graph.bd_cluster[spec.bd_rows], bucket.n_bd, -1),
+        spec.bd_interior, nbd, bucket.n_bd,
+        graph.bd_similarity.shape[0],
+    )
+
     e_sg = bucket.e_sg
     n_sg = min(sg_s.size, e_sg)
 
@@ -308,6 +337,10 @@ def extract_tile(
         sg_mask=padn(np.ones(n_sg, bool), e_sg),
         tt_t=tt_t,
         tb_t=tb_t,
+        tx_sampler_sorted=tx_ss,
+        tx_sampler_counts=tx_sc,
+        bd_sampler_sorted=bd_ss,
+        bd_sampler_counts=bd_sc,
     )
 
 
@@ -318,7 +351,9 @@ def stack_tiles(tiles: Sequence[TileGraph]) -> TileGraph:
     return jax.tree.map(lambda *xs: np.stack(xs), *tiles)
 
 
-def empty_tile(bucket: BucketShape, f_bd: int) -> TileGraph:
+def empty_tile(
+    bucket: BucketShape, f_bd: int, c_tx: int = 1, c_bd: int = 1
+) -> TileGraph:
     """An all-padding tile (used to round batches up to a device-count
     multiple without touching the loss: every mask is False)."""
     z = np.zeros
@@ -358,6 +393,10 @@ def empty_tile(bucket: BucketShape, f_bd: int) -> TileGraph:
             idx=z((bucket.n_tx, bucket.k_tb_t), np.int32),
             mask=z((bucket.n_tx, bucket.k_tb_t), bool),
         ),
+        tx_sampler_sorted=np.arange(bucket.n_tx, dtype=np.int32),
+        tx_sampler_counts=z(c_tx, np.int32),
+        bd_sampler_sorted=np.arange(bucket.n_bd, dtype=np.int32),
+        bd_sampler_counts=z(c_bd, np.int32),
     )
 
 

@@ -23,7 +23,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.gather_agg import take_rows
 
 
 class TripletSample(NamedTuple):
@@ -48,6 +47,7 @@ def sample_triplets(
     labels: jnp.ndarray,
     valid: jnp.ndarray,
     similarity: jnp.ndarray,
+    sort_structure: "tuple[jnp.ndarray, jnp.ndarray] | None" = None,
 ) -> TripletSample:
     """Sample one positive and one negative per anchor.
 
@@ -72,15 +72,21 @@ def sample_triplets(
 
     lab = jnp.where(valid, labels, 0).astype(jnp.int32)
 
-    # cluster occupancy among valid nodes
-    counts = jax.ops.segment_sum(
-        valid.astype(jnp.int32), lab, num_segments=c
-    )
+    if sort_structure is not None:
+        # host-precomputed per-tile block layout (labels and masks are
+        # static per tile; a 50k-element argsort lowers to a ~16 ms
+        # while loop on TPU — see docs/design.md)
+        sorted_idx, counts = sort_structure
+        counts = counts.astype(jnp.int32)
+    else:
+        # cluster occupancy among valid nodes
+        counts = jax.ops.segment_sum(
+            valid.astype(jnp.int32), lab, num_segments=c
+        )
+        # block layout of members: argsort by (label, padded-last)
+        sort_key = jnp.where(valid, lab, c)
+        sorted_idx = jnp.argsort(sort_key)
     present = counts > 0
-
-    # block layout of members: argsort by (label, padded-last)
-    sort_key = jnp.where(valid, lab, c)
-    sorted_idx = jnp.argsort(sort_key)
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
     )
@@ -129,16 +135,17 @@ def triplet_loss(
     valid: jnp.ndarray,
     similarity: jnp.ndarray,
     margin: float = 0.3,
+    sort_structure=None,
 ):
     """Margin triplet loss on sampled triplets (TripletMarginLoss p=2,
     reference defaults tx_margin=0.3, lightning_model.py:37,109-112).
 
     Returns (sum, count) for exact cross-tile joint means.
     """
-    s = sample_triplets(rng, labels, valid, similarity)
+    s = sample_triplets(rng, labels, valid, similarity, sort_structure)
     a = embeddings
-    p = take_rows(embeddings, s.positives)
-    ng = take_rows(embeddings, s.negatives)
+    p = embeddings[s.positives]
+    ng = embeddings[s.negatives]
     dp = jnp.sqrt(jnp.sum((a - p) ** 2, axis=-1) + 1e-12)
     dn = jnp.sqrt(jnp.sum((a - ng) ** 2, axis=-1) + 1e-12)
     per = jnp.maximum(dp - dn + margin, 0.0)
@@ -151,6 +158,7 @@ def metric_loss(
     labels: jnp.ndarray,
     valid: jnp.ndarray,
     similarity: jnp.ndarray,
+    sort_structure=None,
 ):
     """MSE of anchor-positive / anchor-negative cosine similarity against
     cluster-similarity targets (triplet_loss.py:176-204).
@@ -158,10 +166,10 @@ def metric_loss(
     Returns (sum_pos + sum_neg, count) so that sum/count equals the
     reference's mse(pos) + mse(neg) when a single tile is used.
     """
-    s = sample_triplets(rng, labels, valid, similarity)
+    s = sample_triplets(rng, labels, valid, similarity, sort_structure)
     a = embeddings
-    p = take_rows(embeddings, s.positives)
-    ng = take_rows(embeddings, s.negatives)
+    p = embeddings[s.positives]
+    ng = embeddings[s.negatives]
 
     def cos(u, v):
         # NaN-safe at zero vectors (clamped-sqrt denominators)
@@ -205,17 +213,16 @@ def segmentation_loss(
     m = sg_mask & enabled
 
     if loss_type == "triplet":
-        a = take_rows(emb_tx, sg_src)
-        p = take_rows(emb_bd, sg_dst)
-        ng = take_rows(emb_bd, dst_neg)
+        a = emb_tx[sg_src]
+        p = emb_bd[sg_dst]
+        ng = emb_bd[dst_neg]
         dp = jnp.sqrt(jnp.sum((a - p) ** 2, axis=-1) + 1e-12)
         dn = jnp.sqrt(jnp.sum((a - ng) ** 2, axis=-1) + 1e-12)
         per = jnp.maximum(dp - dn + margin, 0.0)
         return _masked_mean(per, m)
     elif loss_type == "bce":
-        e_src = take_rows(emb_tx, sg_src)
-        logit_pos = (e_src * take_rows(emb_bd, sg_dst)).sum(-1)
-        logit_neg = (e_src * take_rows(emb_bd, dst_neg)).sum(-1)
+        logit_pos = (emb_tx[sg_src] * emb_bd[sg_dst]).sum(-1)
+        logit_neg = (emb_tx[sg_src] * emb_bd[dst_neg]).sum(-1)
         # BCEWithLogits: softplus(-x) for label 1, softplus(x) for label 0
         lp = jax.nn.softplus(-logit_pos)
         ln = jax.nn.softplus(logit_neg)

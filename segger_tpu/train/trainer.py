@@ -62,6 +62,9 @@ class TrainConfig:
     update_gene_embedding: bool = True
     use_positional_embeddings: bool = True
     normalize_embeddings: bool = True
+    compute_dtype: str = "float32"  # 'bfloat16' cuts edge-stage HBM
+                                    # traffic ~27% per train step;
+                                    # params/accumulation stay float32
     max_epochs: int = 20
     edges_per_batch: int = 1_000_000
     training_fraction: float = 0.75
@@ -109,6 +112,11 @@ class SeggerTrainer:
             n_heads=config.n_heads,
             normalize_embeddings=config.normalize_embeddings,
             use_positional_embeddings=config.use_positional_embeddings,
+            dtype=(
+                jnp.bfloat16
+                if config.compute_dtype == "bfloat16"
+                else None
+            ),
         )
         self.tx_similarity = jnp.asarray(graph.tx_similarity)
         self.bd_similarity = jnp.asarray(graph.bd_similarity)
@@ -169,12 +177,23 @@ class SeggerTrainer:
             bd_mask = (
                 tile.bd_interior & tile.bd_valid & (tile.bd_cluster >= 0)
             )
+            tx_sort = (
+                (tile.tx_sampler_sorted, tile.tx_sampler_counts)
+                if tile.tx_sampler_sorted is not None
+                else None
+            )
+            bd_sort = (
+                (tile.bd_sampler_sorted, tile.bd_sampler_counts)
+                if tile.bd_sampler_sorted is not None
+                else None
+            )
             s_tx, c_tx = L.triplet_loss(
                 k_tx, emb["tx"], tile.tx_cluster, tx_mask, tx_sim,
-                margin=cfg.tx_margin,
+                margin=cfg.tx_margin, sort_structure=tx_sort,
             )
             s_bd, c_bd = L.metric_loss(
-                k_bd, emb["bd"], tile.bd_cluster, bd_mask, bd_sim
+                k_bd, emb["bd"], tile.bd_cluster, bd_mask, bd_sim,
+                sort_structure=bd_sort,
             )
             n_bd_valid = tile.bd_valid.sum()
             s_sg, c_sg = L.segmentation_loss(
@@ -306,7 +325,13 @@ class SeggerTrainer:
         # round tile count to a multiple of tiles_per_step with empty
         # (all-masked) tiles
         while len(tgs) % self.cfg.tiles_per_step:
-            tgs.append(empty_tile(bucket, f_bd))
+            tgs.append(
+                empty_tile(
+                    bucket, f_bd,
+                    c_tx=self.graph.tx_similarity.shape[0],
+                    c_bd=self.graph.bd_similarity.shape[0],
+                )
+            )
         return stack_tiles(tgs)
 
     def iter_batches(

@@ -173,6 +173,38 @@ def test_cosine_weight_schedule_matches_reference():
     np.testing.assert_allclose(wm, (w_start + w_end) / 2, rtol=1e-5)
 
 
+def test_precomputed_sort_structure_matches_dynamic(rng):
+    """Host-precomputed sampler structure reproduces the on-device
+    argsort path sample-for-sample."""
+    n, c = 120, 4
+    labels = rng.integers(0, c, n).astype(np.int32)
+    valid = rng.uniform(size=n) < 0.7
+    sim = jnp.asarray(rng.uniform(-1, 1, (c, c)).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+
+    s_dyn = sample_triplets(
+        key, jnp.asarray(labels), jnp.asarray(valid), sim
+    )
+
+    # host structure (mirrors data/partition.py::_sampler_structure)
+    lab = np.where(valid, labels, c)
+    sorted_idx = np.argsort(lab, kind="stable").astype(np.int32)
+    counts = np.bincount(lab[valid], minlength=c)[:c].astype(np.int32)
+    s_pre = sample_triplets(
+        key, jnp.asarray(labels), jnp.asarray(valid), sim,
+        sort_structure=(jnp.asarray(sorted_idx), jnp.asarray(counts)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_dyn.positives), np.asarray(s_pre.positives)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_dyn.negatives), np.asarray(s_pre.negatives)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_dyn.ok), np.asarray(s_pre.ok)
+    )
+
+
 def test_losses_jit_and_grad(rng):
     n, f, c = 32, 8, 3
     emb = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
