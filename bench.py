@@ -65,6 +65,19 @@ def build_tile(n_tx=50_000, n_bd=2_500, n_genes=400, f_bd=128, seed=0):
         tt_t=transpose_csr(tt, n_src=n_tx),
         tb_t=transpose_csr(tb, n_src=n_tx),
     )
+    # host-precomputed triplet-sampler block structure
+    from segger_tpu.data.partition import _sampler_structure
+
+    tx_ss, tx_sc = _sampler_structure(
+        tile.tx_cluster, tile.tx_interior, n_tx, n_tx, 20
+    )
+    bd_ss, bd_sc = _sampler_structure(
+        tile.bd_cluster, tile.bd_interior, n_bd, n_bd, 12
+    )
+    tile = tile.replace(
+        tx_sampler_sorted=tx_ss, tx_sampler_counts=tx_sc,
+        bd_sampler_sorted=bd_ss, bd_sampler_counts=bd_sc,
+    )
     return jax.tree.map(jnp.asarray, tile)
 
 
@@ -125,10 +138,12 @@ def main():
         s1, c1 = L.triplet_loss(
             k_tx, emb["tx"], t.tx_cluster,
             t.tx_interior & t.tx_valid, tx_sim, 0.3,
+            sort_structure=(t.tx_sampler_sorted, t.tx_sampler_counts),
         )
         s2, c2 = L.metric_loss(
             k_bd, emb["bd"], t.bd_cluster,
             t.bd_interior & t.bd_valid, bd_sim,
+            sort_structure=(t.bd_sampler_sorted, t.bd_sampler_counts),
         )
         s3, c3 = L.segmentation_loss(
             k_sg, emb["tx"], emb["bd"], t.sg_src, t.sg_dst, t.sg_mask,
