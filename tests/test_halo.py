@@ -128,6 +128,24 @@ def test_sharded_predict_matches_single_device(graph, model_and_params):
     np.testing.assert_allclose(got_sim, sim_ref, rtol=1e-4, atol=1e-5)
 
 
+def test_trainer_predict_whole_slide(graph):
+    """SeggerTrainer.predict_whole_slide end-to-end over the mesh."""
+    from segger_tpu.train.trainer import SeggerTrainer, TrainConfig
+
+    tr = SeggerTrainer(
+        graph,
+        TrainConfig(hidden_channels=8, out_channels=8, n_mid_layers=0,
+                    n_heads=1, max_epochs=1, seed=0),
+    )
+    from segger_tpu.data.partition import make_fit_tiles, build_tiling
+
+    tree = build_tiling(graph, nodes_per_tile=800)
+    tr.fit(make_fit_tiles(graph, tree, margin=5.0), max_epochs=1)
+    preds = tr.predict_whole_slide(make_mesh(N_DEV))
+    assert len(preds["row_index"]) == graph.n_tx
+    assert len(np.unique(preds["row_index"])) == graph.n_tx
+
+
 def test_sharded_embeddings_match_exactly(graph, model_and_params):
     """Layer outputs themselves agree (not just argmaxes)."""
     model, params, tile = model_and_params
