@@ -74,7 +74,8 @@ class GATv2Conv(nn.Module):
             # fused edge stage with the hand-derived low-traffic
             # backward (ops/edge_stage.py).  Attention introspection is
             # only sown on the unfused path below.
-            from ..ops.edge_stage import gatv2_edge_stage
+            from ..ops.edge_stage import gatv2_edge_stage_flat as \
+                gatv2_edge_stage
 
             if self.dropout > 0.0 and not deterministic:
                 rng = self.make_rng("dropout")

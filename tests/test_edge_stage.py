@@ -96,6 +96,41 @@ def test_backward_with_dropout_mask(rng):
     )
 
 
+def test_flat_variant_matches(rng):
+    """The flat-layout variant is numerically identical (fwd + grads)."""
+    from segger_tpu.ops.edge_stage import gatv2_edge_stage_flat
+
+    xl, xr, att, csr, csr_t, heads, ch = setup(rng)
+    keep = jnp.asarray(
+        (rng.uniform(size=(*csr.idx.shape, heads)) < 0.8).astype(
+            np.float32
+        ) / 0.8
+    )
+    o1 = gatv2_edge_stage(xl, xr, att, keep, csr, csr_t, (heads, 0.2))
+    o2 = gatv2_edge_stage_flat(
+        xl, xr, att, keep, csr, csr_t, (heads, 0.2)
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1), np.asarray(o2), rtol=1e-4, atol=1e-5
+    )
+    w = jnp.asarray(
+        rng.normal(size=o1.shape).astype(np.float32)
+    )
+    g1 = jax.grad(
+        lambda *a: (gatv2_edge_stage(*a, csr, csr_t, (heads, 0.2))
+                    * w).sum(), argnums=(0, 1, 2, 3),
+    )(xl, xr, att, keep)
+    g2 = jax.grad(
+        lambda *a: (gatv2_edge_stage_flat(*a, csr, csr_t, (heads, 0.2))
+                    * w).sum(), argnums=(0, 1, 2, 3),
+    )(xl, xr, att, keep)
+    for a, b, name in zip(g1, g2, ("xl", "xr", "att", "keep")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5,
+            err_msg=name,
+        )
+
+
 def test_vmap_over_tiles(rng):
     """The fused op must vmap (stacked-tile training batches)."""
     xs = []
