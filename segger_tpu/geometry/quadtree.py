@@ -25,6 +25,15 @@ class QuadTree:
     leaf_counts: np.ndarray       # (L,) points per leaf at build time
     max_leaf_size: int
     max_depth: int = 24
+    # implicit tree for O(depth) vectorized labeling: children[n, q] =
+    # child node id of node n for quadrant q, or -1 at leaves;
+    # node_leaf[n] = leaf index when n is a leaf else -1;
+    # node_bounds[n] = (x0, y0, x1, y1).  Populated by build(); absent
+    # (None) for hand-constructed instances (e.g. square tiling), which
+    # fall back to the per-leaf scan.
+    children: "np.ndarray | None" = None
+    node_leaf: "np.ndarray | None" = None
+    node_bounds: "np.ndarray | None" = None
 
     @classmethod
     def build(
@@ -43,9 +52,20 @@ class QuadTree:
 
         leaves: List[tuple] = []
         counts: List[int] = []
+        children: List[list] = []
+        node_leaf: List[int] = []
+        node_bounds: List[tuple] = []
 
-        def split(idx: np.ndarray, bx, depth: int):
+        def new_node(bx) -> int:
+            nid = len(children)
+            children.append([-1, -1, -1, -1])
+            node_leaf.append(-1)
+            node_bounds.append(bx)
+            return nid
+
+        def split(idx: np.ndarray, bx, depth: int, nid: int):
             if idx.size <= max_leaf_size or depth >= max_depth:
+                node_leaf[nid] = len(leaves)
                 leaves.append(bx)
                 counts.append(idx.size)
                 return
@@ -60,16 +80,22 @@ class QuadTree:
                 (idx[~right & top], (bx0, my, mx, by1)),
                 (idx[right & top], (mx, my, bx1, by1)),
             ]
-            for sub_idx, sub_bx in quads:
-                split(sub_idx, sub_bx, depth + 1)
+            for q, (sub_idx, sub_bx) in enumerate(quads):
+                cid = new_node(sub_bx)
+                children[nid][q] = cid
+                split(sub_idx, sub_bx, depth + 1, cid)
 
-        split(np.arange(len(points)), (x0, y0, x1, y1), 0)
+        root = new_node((x0, y0, x1, y1))
+        split(np.arange(len(points)), (x0, y0, x1, y1), 0, root)
         return cls(
             bounds=np.array([x0, y0, x1, y1]),
             leaf_bounds=np.array(leaves, dtype=np.float64).reshape(-1, 4),
             leaf_counts=np.array(counts, dtype=np.int64),
             max_leaf_size=max_leaf_size,
             max_depth=max_depth,
+            children=np.array(children, dtype=np.int64),
+            node_leaf=np.array(node_leaf, dtype=np.int64),
+            node_bounds=np.array(node_bounds, dtype=np.float64),
         )
 
     @property
@@ -79,18 +105,37 @@ class QuadTree:
     def label(self, points: np.ndarray) -> np.ndarray:
         """Leaf index per point; -1 for points outside the root box.
 
-        Every in-bounds point matches exactly one leaf (half-open boxes).
-        Vectorized sweep over leaves grouped via sorting on quadrant
-        midlines would be faster, but leaves are few (<= N/max_leaf_size
-        * 4) so an interval-tree-free double loop over leaves is fine.
+        Every in-bounds point matches exactly one leaf (half-open
+        boxes).  With the implicit tree: vectorized level-by-level
+        descent, O(depth) passes over the points.  Hand-constructed
+        instances (no tree, e.g. square tiling) fall back to a per-leaf
+        scan.
         """
         points = np.asarray(points, dtype=np.float64)
-        out = np.full(len(points), -1, dtype=np.int64)
         x, y = points[:, 0], points[:, 1]
-        # order leaves in a grid-bucketed index for fast candidate lookup
-        for li, (x0, y0, x1, y1) in enumerate(self.leaf_bounds):
-            m = (x >= x0) & (x < x1) & (y >= y0) & (y < y1)
-            out[m] = li
+
+        if self.children is None:
+            out = np.full(len(points), -1, dtype=np.int64)
+            for li, (x0, y0, x1, y1) in enumerate(self.leaf_bounds):
+                m = (x >= x0) & (x < x1) & (y >= y0) & (y < y1)
+                out[m] = li
+            return out
+
+        rx0, ry0, rx1, ry1 = self.bounds
+        inside = (x >= rx0) & (x < rx1) & (y >= ry0) & (y < ry1)
+        node = np.zeros(len(points), dtype=np.int64)  # root id = 0
+        active = inside & (self.node_leaf[0] < 0)
+        while active.any():
+            nb = self.node_bounds[node[active]]
+            mx = (nb[:, 0] + nb[:, 2]) / 2
+            my = (nb[:, 1] + nb[:, 3]) / 2
+            quad = (
+                (x[active] >= mx).astype(np.int64)
+                + 2 * (y[active] >= my).astype(np.int64)
+            )
+            node[active] = self.children[node[active], quad]
+            active = inside & (self.node_leaf[node] < 0)
+        out = np.where(inside, self.node_leaf[node], -1)
         return out
 
     def is_exactly_once(self, points: np.ndarray) -> bool:
