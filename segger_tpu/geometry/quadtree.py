@@ -162,22 +162,30 @@ class QuadTree:
         points = np.asarray(points, dtype=np.float64)
         out = np.zeros(len(points), dtype=bool)
         x, y = points[:, 0], points[:, 1]
+        # group point indices by leaf once (avoids an O(points) scan
+        # per leaf)
+        order = np.argsort(labels, kind="stable")
+        lab_sorted = labels[order]
+        starts = np.searchsorted(lab_sorted, np.arange(self.n_leaves))
+        ends = np.searchsorted(
+            lab_sorted, np.arange(self.n_leaves), side="right"
+        )
         for li, (x0, y0, x1, y1) in enumerate(self.leaf_bounds):
-            sel = labels == li
-            if not sel.any():
+            idx = order[starts[li] : ends[li]]
+            if idx.size == 0:
                 continue
             m = margin
             while True:
                 inner = (
-                    (x[sel] >= x0 + m)
-                    & (x[sel] < x1 - m)
-                    & (y[sel] >= y0 + m)
-                    & (y[sel] < y1 - m)
+                    (x[idx] >= x0 + m)
+                    & (x[idx] < x1 - m)
+                    & (y[idx] >= y0 + m)
+                    & (y[idx] < y1 - m)
                 )
                 if inner.any() or m < 1e-6:
                     break
                 m /= 2
-            out[np.where(sel)[0][inner]] = True
+            out[idx[inner]] = True
         return out
 
     def expanded_label_multi(
@@ -185,18 +193,53 @@ class QuadTree:
     ) -> tuple[np.ndarray, np.ndarray]:
         """(point_idx, leaf_idx) pairs for leaves *expanded* by ``margin``
         — the prediction halo membership (a point can belong to several
-        expanded leaves; reference: tile_dataset.py:218-264)."""
+        expanded leaves; reference: tile_dataset.py:218-264).
+
+        Points are first grouped by their own leaf; each expanded leaf
+        then only scans the points of the (few) leaves its expanded box
+        intersects — O(points x neighbor-leaves) instead of
+        O(points x leaves)."""
         points = np.asarray(points, dtype=np.float64)
         x, y = points[:, 0], points[:, 1]
+        labels = self.label(points)
+        order = np.argsort(labels, kind="stable")
+        lab_sorted = labels[order]
+        starts = np.searchsorted(lab_sorted, np.arange(self.n_leaves))
+        ends = np.searchsorted(
+            lab_sorted, np.arange(self.n_leaves), side="right"
+        )
+        lb = self.leaf_bounds
         p_out, l_out = [], []
-        for li, (x0, y0, x1, y1) in enumerate(self.leaf_bounds):
-            m = (
-                (x >= x0 - margin)
-                & (x < x1 + margin)
-                & (y >= y0 - margin)
-                & (y < y1 + margin)
+        for li, (x0, y0, x1, y1) in enumerate(lb):
+            ex0, ey0 = x0 - margin, y0 - margin
+            ex1, ey1 = x1 + margin, y1 + margin
+            # leaves whose boxes intersect the expanded box
+            cand_leaves = np.where(
+                (lb[:, 0] < ex1)
+                & (lb[:, 2] > ex0)
+                & (lb[:, 1] < ey1)
+                & (lb[:, 3] > ey0)
+            )[0]
+            idx_parts = [
+                order[starts[cl] : ends[cl]] for cl in cand_leaves
+            ]
+            # points outside every leaf (label -1) can still fall in an
+            # expanded box only if outside the root; root is the union
+            # of leaves, and margins extend beyond it — include them
+            if (labels == -1).any():
+                idx_parts.append(np.where(labels == -1)[0])
+            idx = (
+                np.concatenate(idx_parts)
+                if idx_parts
+                else np.zeros(0, np.int64)
             )
-            idx = np.where(m)[0]
-            p_out.append(idx)
-            l_out.append(np.full(idx.size, li, dtype=np.int64))
+            m = (
+                (x[idx] >= ex0)
+                & (x[idx] < ex1)
+                & (y[idx] >= ey0)
+                & (y[idx] < ey1)
+            )
+            hit = idx[m]
+            p_out.append(hit)
+            l_out.append(np.full(hit.size, li, dtype=np.int64))
         return np.concatenate(p_out), np.concatenate(l_out)
