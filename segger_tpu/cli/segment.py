@@ -86,6 +86,10 @@ def add_segment_parser(sub):
     p.add_argument("--devices", type=int, default=0,
                    help="Shard tile batches over this many devices "
                         "(0 = all available)")
+    p.add_argument("--distributed-predict", action="store_true",
+                   help="Predict via halo-exchange whole-slide sharding "
+                        "over the mesh instead of halo tiles (exact; "
+                        "no margins or dedupe)")
     _registry().add_arguments(p)
     p.set_defaults(func=run_segment)
     return p
@@ -147,11 +151,14 @@ def run_segment(args) -> int:
         )
         pipeline.adata.write_h5ad(debug_dir / "adata_debug.h5ad")
 
-    predict_tiles = make_predict_tiles(
-        pipeline.graph, pipeline.tree,
-        margin=cfg.tiling_margin_prediction,
-    )
-    predictions = trainer.predict(predict_tiles)
+    if args.distributed_predict:
+        predictions = trainer.predict_whole_slide(mesh)
+    else:
+        predict_tiles = make_predict_tiles(
+            pipeline.graph, pipeline.tree,
+            margin=cfg.tiling_margin_prediction,
+        )
+        predictions = trainer.predict(predict_tiles)
     writer = SegmentationWriter(
         out_dir, save_anndata=not args.no_anndata, debug=args.debug
     )

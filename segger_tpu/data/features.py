@@ -168,8 +168,8 @@ def setup_features(
                 import warnings
 
                 warnings.warn(msg + " Removing them.")
-                keep = ~ad.var.index.isin(missing)
-                ad = ad.subset(var_idx=keep.to_numpy())
+                keep = np.asarray(~ad.var.index.isin(missing))
+                ad = ad.subset(var_idx=keep)
                 ad = _normalise(ad, cells_min_counts)
             elif gene_missing_strategy == "fill":
                 raise NotImplementedError(
