@@ -79,32 +79,40 @@ def louvain(
         k = np.asarray(A.sum(axis=1)).ravel()  # weighted degrees
         comm = np.arange(n)
         improved = False
+        Acoo = A.tocoo()
+        eu, ev, ew = Acoo.row, Acoo.col, Acoo.data
 
         for _sweep in range(max_sweeps):
-            C = comm.max() + 1
-            ind = sp.coo_matrix(
-                (np.ones(n), (np.arange(n), comm)), shape=(n, C)
-            ).tocsr()
-            # W[i, c] = sum of edge weights from i into community c
-            W = (A @ ind).tocsr()
-            sigma = np.asarray(ind.T @ k).ravel()  # community degree sums
+            # Edge-wise sweep, O(E log E): aggregate edge weights per
+            # (node, neighbor-community) pair, then take the per-node
+            # max modularity gain.  (The earlier dense (n, C) formulation
+            # is O(n^2) in the first level where every node is its own
+            # community.)
+            C = int(comm.max()) + 1
+            c_of_v = comm[ev]
+            key = eu.astype(np.int64) * C + c_of_v
+            uniq, inv = np.unique(key, return_inverse=True)
+            Wuc = np.bincount(inv, weights=ew)
+            uu = (uniq // C).astype(np.int64)
+            cc = (uniq % C).astype(np.int64)
+            sigma = np.bincount(comm, weights=k, minlength=C)
+            own = cc == comm[uu]
+            sig_eff = sigma[cc] - np.where(own, k[uu], 0.0)
+            # gain of moving u into c (staying = 0)
+            gain = Wuc - resolution * k[uu] * sig_eff / m2
+            gain = np.where(own, 0.0, gain)
+            # per-u argmax over its candidate communities
+            order = np.lexsort((-gain, uu))
+            uu_s = uu[order]
+            first = np.concatenate([[True], uu_s[1:] != uu_s[:-1]])
+            best_u = uu_s[first]
+            best_c = cc[order][first]
+            best_gain = gain[order][first]
 
-            # modularity gain of moving i into c:
-            #   W[i,c] - resolution * k_i * (sigma_c - [c==comm_i]*k_i) / 2m
-            best = np.empty(n, dtype=np.int64)
-            gain_best = np.empty(n)
-            step = max(1, int(5e7 // max(C, 1)))
-            for s in range(0, n, step):
-                e = min(n, s + step)
-                blk = W[s:e].toarray()
-                rows = np.arange(s, e)
-                sig = np.repeat(sigma[None, :], e - s, axis=0)
-                sig[np.arange(e - s), comm[rows]] -= k[rows]
-                g = blk - resolution * k[rows, None] * sig / m2
-                g[blk == 0] = -np.inf  # only neighboring communities
-                g[np.arange(e - s), comm[rows]] = 0.0  # staying = 0 gain
-                best[rows] = np.argmax(g, axis=1)
-                gain_best[rows] = g[np.arange(e - s), best[rows]]
+            best = comm.copy()
+            gain_best = np.zeros(n)
+            best[best_u] = best_c
+            gain_best[best_u] = best_gain
 
             move = (gain_best > 1e-12) & (best != comm)
             if not move.any():
