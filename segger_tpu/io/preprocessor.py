@@ -91,10 +91,20 @@ class ISTPreprocessor(ABC):
         ...
 
     # ------------------------------------------------------------------
-    def save(self, out_dir, overwrite: bool = False):
+    def save(
+        self,
+        out_dir,
+        overwrite: bool = False,
+        streaming: bool = False,
+        batch_rows: int = 4_000_000,
+    ):
         """Write the standardized dataset (readable by the 'standard'
         preprocessor; analogous to reference save(), preprocessor.py:
-        124-192, minus the optional geoarrow artifacts)."""
+        124-192, minus the optional geoarrow artifacts).
+
+        ``streaming=True`` standardizes and writes transcripts batch by
+        batch (readers exposing ``iter_transcripts``) so whole-slide
+        inputs never materialize in RAM."""
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         std_t = StandardTranscriptFields()
@@ -103,7 +113,24 @@ class ISTPreprocessor(ABC):
         bd_path = out_dir / std_b.filename
         if tx_path.exists() and not overwrite:
             raise IOError(f"{tx_path} exists (pass overwrite=True)")
-        self.transcripts.to_parquet(tx_path, index=False)
+        if streaming and hasattr(self, "iter_transcripts"):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            writer = None
+            try:
+                for chunk in self.iter_transcripts(batch_rows):
+                    table = pa.Table.from_pandas(
+                        chunk, preserve_index=False
+                    )
+                    if writer is None:
+                        writer = pq.ParquetWriter(tx_path, table.schema)
+                    writer.write_table(table)
+            finally:
+                if writer is not None:
+                    writer.close()
+        else:
+            self.transcripts.to_parquet(tx_path, index=False)
         bd, polys = self.boundaries
         rows = []
         meta = bd.set_index([std_b.id, std_b.boundary_type])
@@ -236,11 +263,19 @@ class XeniumPreprocessor(ISTPreprocessor):
                     f"Xenium directory must contain exactly one {pat}"
                 )
 
-    @cached_property
-    def transcripts(self) -> pd.DataFrame:
+    def _standardize_batch(
+        self, df: pd.DataFrame, row_offset: int
+    ) -> pd.DataFrame:
+        """Standardize one raw-transcript batch (QV + control filters,
+        compartment mapping; preprocessor.py:421-437).  ``row_offset``
+        is the absolute row index of the batch's first row, so
+        row_index stays stable under streaming."""
         raw, std = self.tx_fields, StandardTranscriptFields()
-        df = pd.read_parquet(self.data_dir / raw.filename)
-        df.insert(0, std.row_index, np.arange(len(df), dtype=np.int64))
+        df = df.copy()
+        df.insert(
+            0, std.row_index,
+            np.arange(row_offset, row_offset + len(df), dtype=np.int64),
+        )
         # binary columns -> str (some Xenium parquet stores these binary)
         for col in (raw.feature, raw.cell_id):
             if df[col].dtype == object and len(df) and isinstance(
@@ -249,13 +284,11 @@ class XeniumPreprocessor(ISTPreprocessor):
                 df[col] = df[col].str.decode("utf-8")
             else:
                 df[col] = df[col].astype(str)
-        # QV + control-probe filters (preprocessor.py:421-425)
         df = df[df[raw.quality] >= 20]
         pattern = "|".join(
             s.replace("*", ".*") for s in raw.filter_substrings
         )
         df = df[~df[raw.feature].str.contains(pattern, regex=True)]
-        # compartment standardization (preprocessor.py:426-437)
         is_nuc = df[raw.compartment] == raw.nucleus_value
         has_cell = df[raw.cell_id] != raw.null_cell_id
         compartment = np.where(
@@ -265,7 +298,7 @@ class XeniumPreprocessor(ISTPreprocessor):
                      std.extracellular_value),
         ).astype(np.int8)
         cell_id = df[raw.cell_id].where(has_cell, None)
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 std.row_index: df[std.row_index].to_numpy(),
                 std.x: df[raw.x].to_numpy(np.float64),
@@ -274,8 +307,27 @@ class XeniumPreprocessor(ISTPreprocessor):
                 std.cell_id: cell_id.to_numpy(),
                 std.compartment: compartment,
             }
-        )
-        return out.reset_index(drop=True)
+        ).reset_index(drop=True)
+
+    def iter_transcripts(self, batch_rows: int = 4_000_000):
+        """Stream standardized transcript batches without materializing
+        the whole table — the path for whole-slide inputs (the
+        reference's polars lazy scan analogue, preprocessor.py:408-413;
+        its KDTree note cites 600M-transcript slides)."""
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self.data_dir / self.tx_fields.filename)
+        offset = 0
+        for batch in pf.iter_batches(batch_size=batch_rows):
+            df = batch.to_pandas()
+            yield self._standardize_batch(df, offset)
+            offset += len(df)
+
+    @cached_property
+    def transcripts(self) -> pd.DataFrame:
+        raw = self.tx_fields
+        df = pd.read_parquet(self.data_dir / raw.filename)
+        return self._standardize_batch(df, 0)
 
     def _read_boundary_file(self, path: Path):
         raw = self.bd_fields

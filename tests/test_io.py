@@ -113,6 +113,28 @@ def test_platform_inference_rejects_ambiguous(tmp_path, synth):
         get_preprocessor(tmp_path)
 
 
+def test_xenium_streaming_matches_eager(tmp_path, synth):
+    """iter_transcripts batches concatenate to the eager table; a
+    streaming save round-trips identically."""
+    d = write_xenium_like(tmp_path / "xen_s", synth)
+    pp = get_preprocessor(d)
+    eager = pp.transcripts
+    chunks = list(pp.iter_transcripts(batch_rows=100))
+    assert len(chunks) > 1
+    streamed = pd.concat(chunks, ignore_index=True)
+    pd.testing.assert_frame_equal(streamed, eager)
+
+    out = tmp_path / "std_stream"
+    pp.save(out, streaming=True, batch_rows=100)
+    pp2 = get_preprocessor(out)
+    assert len(pp2.transcripts) == len(eager)
+    f = StandardTranscriptFields()
+    np.testing.assert_array_equal(
+        pp2.transcripts[f.row_index].to_numpy(),
+        eager[f.row_index].to_numpy(),
+    )
+
+
 def test_save_standardizes(tmp_path, synth):
     d = write_xenium_like(tmp_path / "xen2", synth)
     out = tmp_path / "std_out"
