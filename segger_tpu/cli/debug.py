@@ -42,7 +42,6 @@ def run_segment_only(args) -> int:
 
     from ..compat.anndata_lite import read_h5ad
     from ..data.writer import SegmentationWriter
-    from ..io.fields import TrainingTranscriptFields
 
     debug_dir = Path(args.debug_directory)
     with open(debug_dir / "predictions.pkl", "rb") as f:

@@ -15,7 +15,6 @@ same, cli/registry.py).
 from __future__ import annotations
 
 import argparse
-import logging
 import sys
 
 

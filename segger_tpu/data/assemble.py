@@ -10,13 +10,13 @@ downstream tiling slices arrays).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 import pandas as pd
 
 from ..compat.anndata_lite import AnnDataLite
-from ..io.fields import TrainingTranscriptFields, StandardBoundaryFields
+from ..io.fields import TrainingTranscriptFields
 from .neighbors_host import (
     transcripts_graph,
     segmentation_graph,

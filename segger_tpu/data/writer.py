@@ -20,7 +20,7 @@ from typing import Dict, Optional
 import numpy as np
 import pandas as pd
 
-from ..io.fields import TrainingTranscriptFields, TrainingBoundaryFields
+from ..io.fields import TrainingTranscriptFields
 from .features import anndata_from_transcripts
 from .threshold import threshold_yen, threshold_li
 

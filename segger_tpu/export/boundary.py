@@ -14,7 +14,7 @@ Re-implements the reference's Delaunay-pruned concave outline
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Literal, Optional, Tuple, Union
+from typing import Dict, List, Literal, Optional, Tuple
 
 import numpy as np
 import pandas as pd

@@ -9,7 +9,7 @@ by construction — the invariant is structural, not checked-and-retried.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List
 
 import numpy as np

@@ -5,7 +5,7 @@ Analogue of the reference's shapely-based helpers
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ framework uses.
 from __future__ import annotations
 
 import struct
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

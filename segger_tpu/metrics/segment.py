@@ -9,7 +9,7 @@ F1 / ARI parity on Xenium).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import pandas as pd

@@ -16,8 +16,6 @@ VPU reductions — no scatter ops.  Destinations with no in-edges output
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -31,8 +31,6 @@ PyG GATv2Conv + torch_scatter, src/segger/models/ist_encoder.py:109-134).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -20,9 +20,7 @@ index lists.  Device side: :func:`sharded_predict_fn` wraps the ordinary
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax
@@ -32,7 +30,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.assemble import HostGraph
 from ..data.graph import TileGraph
-from ..ops.padded_csr import PaddedCSR
 
 
 @struct.dataclass

@@ -11,8 +11,8 @@ inserted for the sharded computation).
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 import jax
@@ -23,7 +23,6 @@ from ..data.graph import TileGraph
 from ..data.assemble import HostGraph
 from ..data.partition import (
     TileSpec,
-    BucketShape,
     tile_bucket,
     merge_buckets,
     extract_tile,

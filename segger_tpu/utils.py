@@ -9,7 +9,6 @@ host RSS (and TPU memory stats when a device is live and queryable).
 from __future__ import annotations
 
 import logging
-import os
 
 
 def free_mem_str() -> str:
