@@ -262,13 +262,30 @@ def _sampler_structure(
     return sorted_idx, counts
 
 
+def _strip_major_order(pos: np.ndarray, strip_height: float = 5.0):
+    """Locality ordering: sort by max-dist-height y-strip, then x.
+    Bounds the neighbor-index band of radius-limited graphs to ~3 strip
+    populations (the banded-kernel layout, ops/pallas/banded.py) and
+    keeps gathers index-local."""
+    strip = np.floor(pos[:, 1] / strip_height).astype(np.int64)
+    return np.lexsort((pos[:, 0], strip))
+
+
 def extract_tile(
     graph: HostGraph, spec: TileSpec, bucket: BucketShape
 ) -> TileGraph:
     """Materialize one tile as a padded, fixed-shape NumPy TileGraph.
 
     Valid nodes occupy the leading rows (packing invariant of
-    :class:`TileGraph`)."""
+    :class:`TileGraph`) in strip-major locality order."""
+    perm = _strip_major_order(graph.tx_pos[spec.tx_rows])
+    spec = TileSpec(
+        tx_rows=spec.tx_rows[perm],
+        bd_rows=spec.bd_rows,
+        tx_interior=spec.tx_interior[perm],
+        bd_interior=spec.bd_interior,
+        n_edges=spec.n_edges,
+    )
     ntx, nbd = spec.tx_rows.size, spec.bd_rows.size
     assert ntx <= bucket.n_tx and nbd <= bucket.n_bd
 
