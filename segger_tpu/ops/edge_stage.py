@@ -203,37 +203,44 @@ def gatv2_edge_stage_flat(
 
 
 def _fwd_flat(xl, xr, att, keep_mask, csr, csr_t, config):
-    out = gatv2_edge_stage_flat(
-        xl, xr, att, keep_mask, csr, csr_t, config
-    )
-    return out, (xl, xr, att, keep_mask, csr, csr_t)
+    heads, slope = config
+    n_dst, k = csr.idx.shape
+    hc = xl.shape[-1]
+    ch = hc // heads
+    nk = n_dst * k
+    g = jnp.take(xl, csr.idx.reshape(-1), axis=0)
+    p = g + jnp.repeat(xr, k, axis=0)
+    sign = p > 0                                      # residual (1B/elem)
+    s = jnp.where(sign, p, slope * p)
+    logits = s @ _att_blockdiag(att)
+    m = csr.mask.reshape(nk, 1)
+    z = jnp.where(m, logits, _NEG_INF).reshape(n_dst, k, heads)
+    z = z - jax.lax.stop_gradient(z.max(axis=1, keepdims=True))
+    ez = jnp.where(csr.mask[..., None], jnp.exp(z), 0.0)
+    alpha = (
+        ez / jnp.maximum(ez.sum(axis=1, keepdims=True), 1e-30)
+    ).reshape(nk, heads)                              # residual (small)
+    a = alpha * keep_mask.reshape(nk, heads)
+    a_exp = jnp.repeat(a, ch, axis=1)
+    out = (a_exp * g).reshape(n_dst, k, hc).sum(axis=1)
+    return out, (xl, xr, att, keep_mask, csr, csr_t, alpha, sign)
 
 
 def _bwd_flat(config, res, G):
+    """Backward from stored (alpha, sign(p)) residuals: the expensive
+    recompute chain (p -> s -> logits -> softmax) is replaced by the
+    6 MB alpha and ~100 MB sign arrays; only g is re-gathered."""
     heads, slope = config
-    xl, xr, att, keep_mask, csr, csr_t = res
+    xl, xr, att, keep_mask, csr, csr_t, alpha, sign = res
     n_dst, k = csr.idx.shape
     hc = xl.shape[-1]
     ch = hc // heads
     nk = n_dst * k
 
-    # recompute (flat shapes throughout)
     g = jnp.take(xl, csr.idx.reshape(-1), axis=0)
-    p = g + jnp.repeat(xr, k, axis=0)
-    s = jnp.where(p > 0, p, slope * p)
-    A = _att_blockdiag(att)
-    logits = s @ A
-    m = csr.mask.reshape(nk, 1)
-    z = jnp.where(m, logits, _NEG_INF).reshape(n_dst, k, heads)
-    z = z - jax.lax.stop_gradient(z.max(axis=1, keepdims=True))
-    ez = jnp.where(
-        csr.mask[..., None], jnp.exp(z), 0.0
-    )
-    alpha = (
-        ez / jnp.maximum(ez.sum(axis=1, keepdims=True), 1e-30)
-    ).reshape(nk, heads)
     keep = keep_mask.reshape(nk, heads)
     a = alpha * keep
+    A = _att_blockdiag(att)
 
     G_rep = jnp.repeat(G, k, axis=0)                  # (N*K, HC)
     # dA_masked[nk,h] = sum_c G[n,(h,c)] g[nk,(h,c)] — headwise row dot
@@ -251,14 +258,18 @@ def _bwd_flat(config, res, G):
         * (dalpha.reshape(n_dst, k, heads) - inner)
     ).reshape(nk, heads)
 
+    # datt needs s = leaky(p); rebuild from g + sign (one fused pass)
+    p = g + jnp.repeat(xr, k, axis=0)
+    s = jnp.where(sign, p, slope * p)
     datt_flat = s.T @ de                              # (HC, H) on MXU
     # extract the block diagonal: datt[h, c] = datt_flat[h*ch + c, h]
     datt = jnp.einsum(
         "hch->hc", datt_flat.reshape(heads, ch, heads)
     )
 
-    leak = jnp.where(p > 0, 1.0, slope)
+    leak = jnp.where(sign, 1.0, slope)
     dp = (de @ A.T) * leak                            # (N*K, HC) via MXU
+    m = csr.mask.reshape(nk, 1)
     dg = jnp.repeat(a, ch, axis=1) * G_rep + dp
     dg = jnp.where(m, dg, 0.0)
     dxr = dp.reshape(n_dst, k, hc).sum(axis=1)
