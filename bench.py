@@ -196,12 +196,23 @@ def main():
     edges_per_layer = e_tt + e_tb
     edges_per_sec = edges_per_layer * n_layers / (fwd_ms / 1e3)
 
+    # HBM-bandwidth speed-of-light model (the edge stage is
+    # traffic-bound): per layer the (N*K, H*C) gathered tensor must be
+    # written+read once; plus xl/xr/out streams.  v5e HBM ~819 GB/s.
+    n_tx = tile.tx_gene.shape[0]
+    k_tt = tile.tt.idx.shape[1]
+    hc = 128
+    bytes_per_layer = (2 * n_tx * k_tt * hc + 3 * n_tx * hc) * 4
+    sol_s = n_layers * bytes_per_layer / 819e9
+    sol_edges_per_sec = edges_per_layer * n_layers / sol_s
+
     result = {
         "metric": "edges/sec/chip (SpMM+SDDMM, hetero-GATv2 fwd, "
                   "Xenium-scale tile, chained device timing)",
         "value": round(edges_per_sec, 0),
         "unit": "edges/s",
-        "vs_baseline": round(edges_per_sec / 1e9, 4),
+        # fraction of the single-chip HBM-roofline speed of light
+        "vs_baseline": round(edges_per_sec / sol_edges_per_sec, 4),
         "detail": {
             "fwd_ms": round(fwd_ms, 3),
             "train_step_ms": round(train_ms, 3),
@@ -210,6 +221,7 @@ def main():
             ),
             "edges_per_layer": edges_per_layer,
             "n_layers": n_layers,
+            "sol_fwd_ms": round(sol_s * 1e3, 2),
             "device": str(jax.devices()[0]),
         },
     }
