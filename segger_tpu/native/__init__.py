@@ -181,3 +181,23 @@ def morton_codes(points: np.ndarray) -> np.ndarray:
         _ptr(out, ctypes.c_uint64),
     )
     return out
+
+
+def morton_decode(codes: np.ndarray) -> np.ndarray:
+    """Z-order codes -> (N, 2) integer grid coordinates (the analogue of
+    the reference's Numba ``keys_to_coordinates``,
+    reference: src/segger/geometry/quadtree.py:56-94)."""
+    v = np.asarray(codes, dtype=np.uint64)
+
+    def compact(x):
+        x &= np.uint64(0x5555555555555555)
+        x = (x | (x >> np.uint64(1))) & np.uint64(0x3333333333333333)
+        x = (x | (x >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+        x = (x | (x >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+        return x
+
+    gx = compact(v.copy())
+    gy = compact(v >> np.uint64(1))
+    return np.stack([gx, gy], axis=1).astype(np.int64)

@@ -101,6 +101,28 @@ def test_anndata_lite_h5ad_roundtrip(rng, tmp_path):
                                ad.uns["similarities"])
 
 
+def test_writer_dedupes_by_max_similarity(rng):
+    """Cross-tile duplicate predictions keep the max-similarity row
+    (reference: writer.py:199-204)."""
+    from segger_tpu.data.writer import assign_transcripts_to_cells
+
+    preds = {
+        "row_index": np.array([7, 7, 8, 9, 9, 9]),
+        "cell_encoding": np.array([0, 1, 1, 0, 1, -1]),
+        "similarity": np.array([0.4, 0.9, 0.5, 0.8, 0.3, 0.2]),
+        "gene": np.array([0, 0, 1, 1, 1, 1]),
+    }
+    seg = assign_transcripts_to_cells(
+        preds, cell_ids=np.array(["cA", "cB"]),
+        gene_names=np.array(["g0", "g1"]),
+    )
+    assert len(seg) == 3
+    by_row = seg.set_index("row_index")
+    assert by_row.loc[7, "segger_cell_id"] == "cB"  # 0.9 beats 0.4
+    assert by_row.loc[9, "segger_cell_id"] == "cA"  # 0.8 wins
+    np.testing.assert_allclose(by_row.loc[7, "segger_similarity"], 0.9)
+
+
 def test_anndata_from_transcripts_counts(rng):
     from segger_tpu.data.features import anndata_from_transcripts
 

@@ -83,6 +83,19 @@ def test_morton_codes_locality(rng):
     assert d_m < d_r * 0.35
 
 
+def test_morton_decode_roundtrip(rng):
+    """encode -> decode preserves grid-cell ordering per axis."""
+    pts = rng.uniform(0, 100, (500, 2))
+    codes = native.morton_codes(pts)
+    grid = native.morton_decode(codes)
+    # decoded coordinates are monotone in the original coordinates
+    for axis in range(2):
+        order = np.argsort(pts[:, axis])
+        g = grid[order, axis]
+        # allow equal grid cells; must never decrease
+        assert (np.diff(g) >= 0).all()
+
+
 def test_morton_fallback_matches_native(rng):
     pts = rng.uniform(0, 10, (200, 2))
     import segger_tpu.native as nat
