@@ -107,6 +107,22 @@ def test_bce_segmentation_loss(synth):
     assert h[0]["train:loss_sg"] > 0
 
 
+def test_training_is_seed_deterministic(synth):
+    """Same seed -> bit-identical loss trajectory (the deterministic
+    data pipeline + jax.random discipline the checkpoint/resume story
+    relies on, SURVEY §5.4)."""
+    cfg = _base_cfg()
+    p = ISTPipeline(synth.transcripts, synth.boundaries, synth.polygons,
+                    cfg)
+    p.load()
+    tiles = make_fit_tiles(p.graph, p.tree, margin=5.0)
+    tc = TrainConfig(hidden_channels=8, out_channels=8, n_mid_layers=0,
+                     n_heads=1, max_epochs=2, seed=3)
+    h1 = SeggerTrainer(p.graph, tc).fit(tiles, max_epochs=2)
+    h2 = SeggerTrainer(p.graph, tc).fit(tiles, max_epochs=2)
+    assert [r["train:loss"] for r in h1] == [r["train:loss"] for r in h2]
+
+
 def test_bf16_training(synth):
     cfg = _base_cfg()
     p = ISTPipeline(synth.transcripts, synth.boundaries, synth.polygons,
