@@ -298,6 +298,61 @@ void sgt_morton_codes(const double* pts, int64_t n, uint64_t* out) {
     }
 }
 
-int sgt_version() { return 1; }
+// Expanded-box membership: which points fall in each leaf box expanded
+// by `margin` (multi-membership; the prediction-halo labeling).
+// boxes: (n_boxes, 4) row-major x0,y0,x1,y1 half-open.
+// Fills out_pt/out_box up to capacity; returns the total pair count.
+int64_t sgt_points_in_boxes(
+    const double* pts, int64_t n_pts,
+    const double* boxes, int64_t n_boxes,
+    double margin,
+    int64_t* out_pt, int64_t* out_box, int64_t capacity) {
+    if (n_pts == 0 || n_boxes == 0) return 0;
+    double wsum = 0;
+    for (int64_t b = 0; b < n_boxes; ++b)
+        wsum += std::max(boxes[4 * b + 2] - boxes[4 * b],
+                         boxes[4 * b + 3] - boxes[4 * b + 1]);
+    Grid grid;
+    grid.build(pts, n_pts, std::max(wsum / n_boxes, 1e-6));
+
+    std::atomic<int64_t> total(0);
+#pragma omp parallel
+    {
+        std::vector<int64_t> loc_pt, loc_box;
+#pragma omp for schedule(dynamic, 8)
+        for (int64_t b = 0; b < n_boxes; ++b) {
+            double x0 = boxes[4 * b] - margin;
+            double y0 = boxes[4 * b + 1] - margin;
+            double x1 = boxes[4 * b + 2] + margin;
+            double y1 = boxes[4 * b + 3] + margin;
+            int64_t cx0 = grid.cx_of(x0), cx1 = grid.cx_of(x1);
+            int64_t cy0 = grid.cy_of(y0), cy1 = grid.cy_of(y1);
+            for (int64_t cy = cy0; cy <= cy1; ++cy)
+                for (int64_t cx = cx0; cx <= cx1; ++cx) {
+                    int64_t c = cy * grid.nx + cx;
+                    for (int64_t s = grid.starts[c];
+                         s < grid.starts[c + 1]; ++s) {
+                        int64_t i = grid.ids[s];
+                        double px = pts[2 * i], py = pts[2 * i + 1];
+                        if (px >= x0 && px < x1 && py >= y0 && py < y1) {
+                            loc_pt.push_back(i);
+                            loc_box.push_back(b);
+                        }
+                    }
+                }
+        }
+        int64_t base = total.fetch_add((int64_t)loc_pt.size());
+        int64_t writable = std::max<int64_t>(
+            0, std::min<int64_t>((int64_t)loc_pt.size(),
+                                 capacity - base));
+        for (int64_t i = 0; i < writable; ++i) {
+            out_pt[base + i] = loc_pt[i];
+            out_box[base + i] = loc_box[i];
+        }
+    }
+    return total.load();
+}
+
+int sgt_version() { return 2; }
 
 }  // extern "C"

@@ -195,11 +195,16 @@ class QuadTree:
         — the prediction halo membership (a point can belong to several
         expanded leaves; reference: tile_dataset.py:218-264).
 
-        Points are first grouped by their own leaf; each expanded leaf
-        then only scans the points of the (few) leaves its expanded box
-        intersects — O(points x neighbor-leaves) instead of
-        O(points x leaves)."""
+        Uses the C++ grid join when available; the NumPy fallback groups
+        points by their own leaf so each expanded leaf only scans the
+        points of the (few) leaves its box intersects."""
         points = np.asarray(points, dtype=np.float64)
+        from .. import native
+
+        if native.available():
+            return native.points_in_boxes(
+                points, self.leaf_bounds, margin
+            )
         x, y = points[:, 0], points[:, 1]
         labels = self.label(points)
         order = np.argsort(labels, kind="stable")

@@ -66,8 +66,9 @@ def _build_lib() -> Optional[ctypes.CDLL]:
             os.replace(tmp, so)
         lib = ctypes.CDLL(str(so))
         lib.sgt_points_in_polygons.restype = ctypes.c_int64
+        lib.sgt_points_in_boxes.restype = ctypes.c_int64
         lib.sgt_version.restype = ctypes.c_int
-        assert lib.sgt_version() == 1
+        assert lib.sgt_version() == 2
         _LIB = lib
     except Exception as e:  # pragma: no cover
         logger.warning("native core unavailable (%s); NumPy fallback", e)
@@ -151,6 +152,34 @@ def grid_knn(
         _ptr(dist, ctypes.c_double) if return_dist else None,
     )
     return (out, dist) if return_dist else out
+
+
+def points_in_boxes(
+    points: np.ndarray,
+    boxes: np.ndarray,
+    margin: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Multi-membership join of points against margin-expanded boxes
+    (the prediction-halo labeling hot path)."""
+    lib = _build_lib()
+    if lib is None:
+        raise ImportError("native spatial core not available")
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    bx = np.ascontiguousarray(boxes, dtype=np.float64)
+    capacity = max(len(pts) * 2, 1024)
+    while True:
+        out_pt = np.empty(capacity, dtype=np.int64)
+        out_box = np.empty(capacity, dtype=np.int64)
+        count = lib.sgt_points_in_boxes(
+            _ptr(pts, ctypes.c_double), ctypes.c_int64(len(pts)),
+            _ptr(bx, ctypes.c_double), ctypes.c_int64(len(bx)),
+            ctypes.c_double(margin),
+            _ptr(out_pt, ctypes.c_int64), _ptr(out_box, ctypes.c_int64),
+            ctypes.c_int64(capacity),
+        )
+        if count <= capacity:
+            return out_pt[:count].copy(), out_box[:count].copy()
+        capacity = count + 1024
 
 
 def morton_codes(points: np.ndarray) -> np.ndarray:
