@@ -1,15 +1,28 @@
 """Cell-boundary polygons from assigned transcripts.
 
-Re-implements the reference's Delaunay-pruned concave outline
-(reference: src/segger/export/boundary.py:31-217) without Shapely/GEOS:
+Same capability as the reference's Delaunay-pruned concave outline
+(reference: src/segger/export/boundary.py:157-217) with a different,
+array-first engine designed for whole-slide scale (10^5+ cells):
 
-  - Delaunay triangulation (scipy), per-edge opposite angles
-  - iterative boundary pruning: drop spuriously long edges
-    (> 2*connectivity*d_max), then edges spanning very obtuse triangles,
-    never orphaning a vertex
-  - polygonization of the remaining boundary edges by cycle walking
-    (replaces shapely.ops.polygonize), keeping the largest ring
-  - optional convex hull method and Chaikin corner-cutting smoothing
+  - one flat NumPy *edge table* per cell instead of per-edge Python
+    dicts: unique undirected edges, their lengths, and the (<=2)
+    incident triangles with the opposite interior angle of each,
+    computed in one vectorized pass via the law of cosines;
+  - ``d_max`` (the outline's length scale — the largest
+    nearest-neighbor distance) read directly off the triangulation:
+    every point's nearest neighbor is joined by a Delaunay edge, so
+    ``d_max = max_v min_{e ∋ v} len(e)`` — no KDTree per cell;
+  - pruning as boolean sweeps over the edge table.  Candidates that
+    cannot orphan a vertex are dropped in bulk; the rare conflicted
+    ones (an endpoint whose remaining degree could hit zero) fall back
+    to a short sequential pass.  Pruning thresholds — drop boundary
+    edges longer than ``2·connectivity·d_max``, then obtuse spans
+    (``>90°`` beyond ``1.5·connectivity·d_max`` or ``>180−11.25/
+    connectivity`` anywhere) — are the published algorithm's constants
+    (reference: boundary.py:137-146);
+  - polygonization by cycle-walking the surviving boundary edges
+    (largest ring wins), replacing GEOS ``polygonize``;
+  - optional convex hull and Chaikin corner-cutting smoothing.
 """
 from __future__ import annotations
 
@@ -18,45 +31,20 @@ from typing import Dict, List, Literal, Optional, Tuple
 
 import numpy as np
 import pandas as pd
-from scipy.spatial import ConvexHull, Delaunay, cKDTree
-
-
-def _triangle_angles(
-    points: np.ndarray, simplices: np.ndarray
-) -> np.ndarray:
-    """Interior angles (degrees) at the three vertices of each triangle
-    (reference: boundary.py:31-39)."""
-    p0 = points[simplices[:, 0]]
-    p1 = points[simplices[:, 1]]
-    p2 = points[simplices[:, 2]]
-
-    def angle(u, v):
-        cos = (u * v).sum(1) / (
-            np.linalg.norm(u, axis=1) * np.linalg.norm(v, axis=1) + 1e-12
-        )
-        return np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
-
-    return np.stack(
-        [
-            angle(p1 - p0, p2 - p0),
-            angle(p0 - p1, p2 - p1),
-            angle(p0 - p2, p1 - p2),
-        ],
-        axis=1,
-    )
+from scipy.spatial import ConvexHull, Delaunay
 
 
 def chaikin(coords: np.ndarray, iterations: int) -> np.ndarray:
     """Chaikin (1974) corner cutting on a closed ring (no repeated end):
-    each vertex is replaced by points at 1/4 and 3/4 of its outgoing edge
-    (reference math: boundary.py:42-54)."""
+    each iteration replaces every vertex with the 1/4 and 3/4 points of
+    its outgoing edge."""
     coords = np.asarray(coords, dtype=np.float64)
     for _ in range(iterations):
         nxt = np.roll(coords, -1, axis=0)
-        smoothed = np.empty((len(coords) * 2, 2))
-        smoothed[0::2] = 0.75 * coords + 0.25 * nxt
-        smoothed[1::2] = 0.25 * coords + 0.75 * nxt
-        coords = smoothed
+        coords = np.stack(
+            (coords + 0.25 * (nxt - coords), coords + 0.75 * (nxt - coords)),
+            axis=1,
+        ).reshape(-1, 2)
     return coords
 
 
@@ -82,7 +70,7 @@ def _polygonize_edges(
         # follow the cycle greedily; at junctions pick an unused edge
         ring = [start]
         used_edges = set()
-        cur, prev = start, -1
+        cur = start
         while True:
             visited.add(cur)
             nxt = None
@@ -104,112 +92,178 @@ def _polygonize_edges(
                         best, best_area = coords, area
                 break
             ring.append(nxt)
-            prev, cur = cur, nxt
+            cur = nxt
             if len(ring) > len(points) * 2:
                 break
     return best
 
 
-class _CellOutline:
-    """Prune a cell's Delaunay triangulation to a concave boundary
-    (reference: boundary.py:57-154)."""
+class EdgeTable:
+    """Flat-array model of a cell's Delaunay triangulation.
+
+    Columns (all length ``E`` = number of unique undirected edges):
+
+      verts  (E, 2) int  — endpoint vertex ids, ``verts[:,0] < verts[:,1]``
+      length (E,)  float — Euclidean edge length
+      tri0/tri1 (E,) int — incident triangle ids in discovery order
+                           (-1 = none); a live edge starts with 1
+                           (hull) or 2 (interior) incident triangles
+      ang0/ang1 (E,) float — interior angle (degrees) at the vertex
+                           *opposite* this edge in tri0/tri1
+
+    Mutable state: ``alive`` (edges), ``tri_alive`` (triangles, a
+    triangle dies when any of its edges is pruned) and the vertex
+    ``degree`` vector that implements the never-orphan-a-vertex rule.
+    """
 
     def __init__(self, points: np.ndarray):
-        self.tri = Delaunay(points)
-        self.points = self.tri.points
-        self.d_max = self._nn_max(self.points)
-        self.edges = self._build_edges()
-        self.degree = np.bincount(
-            np.array(list(self.edges), dtype=np.int64).ravel(),
-            minlength=len(self.points),
-        )
+        tri = Delaunay(points)
+        self.points = tri.points
+        simp = tri.simplices.astype(np.int64)
+        n_tri = simp.shape[0]
+        n_pts = self.points.shape[0]
 
-    @staticmethod
-    def _nn_max(points: np.ndarray) -> float:
-        dist, _ = cKDTree(points).query(points, k=2)
-        return float(dist[:, 1].max())
+        # --- unique edge table --------------------------------------
+        # slot layout: triangle t contributes slots 3t..3t+2 holding the
+        # edges (v0,v1), (v1,v2), (v2,v0); the opposite vertex of slot
+        # k is vertex (k+2) % 3.
+        pair = np.stack(
+            (simp, np.roll(simp, -1, axis=1)), axis=2
+        ).reshape(-1, 2)                               # (3T, 2)
+        pair.sort(axis=1)
+        # unique via 1-D integer keys (np.unique(axis=0) is ~10x slower)
+        key = pair[:, 0] * np.int64(n_pts) + pair[:, 1]
+        ukey, inv = np.unique(key, return_inverse=True)
+        verts = np.stack((ukey // n_pts, ukey % n_pts), axis=1)
+        n_edges = verts.shape[0]
 
-    @staticmethod
-    def _simplex_edges(simplex) -> list:
-        return [
-            tuple(sorted((simplex[i], simplex[(i + 1) % 3])))
-            for i in range(3)
-        ]
+        d = self.points[verts[:, 0]] - self.points[verts[:, 1]]
+        self.length = np.hypot(d[:, 0], d[:, 1])
+        self.verts = verts
 
-    def _build_edges(self) -> dict:
-        angles = _triangle_angles(self.points, self.tri.simplices)
-        edges: dict = {}
-        for ti, simplex in enumerate(self.tri.simplices):
-            for k, edge in enumerate(self._simplex_edges(simplex)):
-                if edge not in edges:
-                    a, b = edge
-                    edges[edge] = {
-                        "tri": {},
-                        "length": float(
-                            np.linalg.norm(self.points[a] - self.points[b])
-                        ),
-                    }
-                # angle opposite this edge within triangle ti
-                edges[edge]["tri"][ti] = angles[ti][(k + 2) % 3]
-        return edges
+        # squared side lengths per slot -> opposite angle per slot by
+        # the law of cosines: cos(opp) = (b² + c² − a²) / (2bc) where a
+        # is this slot's edge and b, c are the other two sides.
+        sq = (self.length ** 2)[inv].reshape(n_tri, 3)
+        a2 = sq
+        b2 = np.roll(sq, -1, axis=1)
+        c2 = np.roll(sq, -2, axis=1)
+        cos = (b2 + c2 - a2) / (2.0 * np.sqrt(b2 * c2) + 1e-12)
+        slot_ang = np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
 
-    def _drop_edge(self, edge) -> bool:
-        a, b = edge
-        if self.degree[a] <= 1 or self.degree[b] <= 1:
-            return False
-        del self.edges[edge]
-        self.degree[a] -= 1
-        self.degree[b] -= 1
-        return True
+        # per-edge incident triangles in discovery (triangle) order
+        first = np.full(n_edges, -1, np.int64)
+        slot_ids = np.arange(3 * n_tri)
+        # reversed assignment leaves the *smallest* slot id per edge
+        first[inv[::-1]] = slot_ids[::-1]
+        second = np.full(n_edges, -1, np.int64)
+        rest = np.flatnonzero(first[inv] != slot_ids)
+        second[inv[rest]] = slot_ids[rest]
 
-    def _prune(self, predicate) -> None:
-        boundary = [e for e in self.edges if len(self.edges[e]["tri"]) < 2]
-        changed = True
-        while changed:
-            changed, nxt = False, []
-            for edge in boundary:
-                info = self.edges.get(edge)
-                if info is None:
-                    continue
-                if not info["tri"]:
-                    if not self._drop_edge(edge):
-                        nxt.append(edge)
-                    continue
-                ti = next(iter(info["tri"]))
-                if predicate(info, ti) and self._drop_edge(edge):
-                    for other in self._simplex_edges(
-                        self.tri.simplices[ti]
-                    ):
-                        if other != edge and other in self.edges:
-                            self.edges[other]["tri"].pop(ti, None)
-                            nxt.append(other)
-                    changed = True
-                else:
-                    nxt.append(edge)
-            boundary = nxt
+        def unpack(slots):
+            t = np.where(slots >= 0, slots // 3, -1)
+            a = np.where(slots >= 0, slot_ang.reshape(-1)[slots], 0.0)
+            return t, a
 
-    def refine(self, connectivity: float = 2.0) -> "_CellOutline":
-        d_max = self.d_max
-        # Phase 1: spuriously long boundary edges (boundary.py:137)
-        self._prune(
-            lambda info, ti: info["length"] > 2 * connectivity * d_max
-        )
-        # Phase 2: very obtuse (concave) spans (boundary.py:139-143)
-        max_angle = 180 - (180 / 16) / connectivity
-        self._prune(
-            lambda info, ti: (
-                info["length"] > 1.5 * connectivity * d_max
-                and info["tri"][ti] > 90
+        self.tri0, self.ang0 = unpack(first)
+        self.tri1, self.ang1 = unpack(second)
+
+        self.alive = np.ones(n_edges, bool)
+        self.tri_alive = np.ones(n_tri, bool)
+        self.degree = np.bincount(verts.ravel(), minlength=n_pts)
+
+        # d_max without a KDTree: the nearest neighbor of every point is
+        # one of its Delaunay edges.
+        nn = np.full(n_pts, np.inf)
+        np.minimum.at(nn, verts[:, 0], self.length)
+        np.minimum.at(nn, verts[:, 1], self.length)
+        self.d_max = float(nn.max())
+
+    # --- pruning ----------------------------------------------------
+    def _incidence(self):
+        """(t0_live, t1_live, n_live_tris) per edge."""
+        t0 = (self.tri0 >= 0) & self.tri_alive[np.maximum(self.tri0, 0)]
+        t1 = (self.tri1 >= 0) & self.tri_alive[np.maximum(self.tri1, 0)]
+        return t0, t1, t0.astype(np.int8) + t1.astype(np.int8)
+
+    def _drop(self, ids: np.ndarray, t0_live: np.ndarray) -> int:
+        """Degree-guarded removal of candidate edges ``ids`` (ascending).
+
+        Edges whose endpoints keep degree >= 1 even if every candidate
+        at that vertex drops are removed in bulk; the remainder go
+        through a sequential pass so the no-orphan rule sees up-to-date
+        degrees.  Returns the number of edges dropped."""
+        if ids.size == 0:
+            return 0
+        ends = self.verts[ids]
+        at_risk = np.bincount(ends.ravel(), minlength=self.degree.size)
+        safe_v = (self.degree - at_risk) >= 1
+        bulk = safe_v[ends[:, 0]] & safe_v[ends[:, 1]]
+
+        dropped = ids[bulk]
+        seq = ids[~bulk]
+        if dropped.size:
+            self.alive[dropped] = False
+            self.degree -= np.bincount(
+                self.verts[dropped].ravel(), minlength=self.degree.size
             )
-            or info["tri"][ti] > max_angle
-        )
+            live_t = np.where(
+                t0_live[dropped], self.tri0[dropped], self.tri1[dropped]
+            )
+            live_t = live_t[live_t >= 0]
+            self.tri_alive[live_t] = False
+        n = int(dropped.size)
+        for e in seq:
+            a, b = self.verts[e]
+            if self.degree[a] <= 1 or self.degree[b] <= 1:
+                continue
+            self.alive[e] = False
+            self.degree[a] -= 1
+            self.degree[b] -= 1
+            t = self.tri0[e] if t0_live[e] else self.tri1[e]
+            if t >= 0:
+                self.tri_alive[t] = False
+            n += 1
+        return n
+
+    def prune(self, connectivity: float) -> "EdgeTable":
+        """Two-phase boundary pruning (thresholds from the published
+        algorithm, reference boundary.py:137-146): first spuriously
+        long boundary edges, then very obtuse (concave) spans.  Each
+        phase sweeps until no prunable boundary edge remains; orphan
+        edges (no live incident triangle) are always removable."""
+        long_thresh = 2.0 * connectivity * self.d_max
+        obtuse_len = 1.5 * connectivity * self.d_max
+        max_angle = 180.0 - (180.0 / 16.0) / connectivity
+
+        def phase1(length, ang):
+            return length > long_thresh
+
+        def phase2(length, ang):
+            return ((length > obtuse_len) & (ang > 90.0)) | (
+                ang > max_angle
+            )
+
+        for pred in (phase1, phase2):
+            while True:
+                t0, t1, ntri = self._incidence()
+                boundary = self.alive & (ntri <= 1)
+                ang = np.where(t0, self.ang0, self.ang1)
+                cand = boundary & (
+                    (ntri == 0) | pred(self.length, ang)
+                )
+                ids = np.flatnonzero(cand)
+                if ids.size == 0 or self._drop(ids, t0) == 0:
+                    break
         return self
 
-    def polygon(self) -> Optional[np.ndarray]:
-        boundary_edges = [
-            e for e in self.edges if len(self.edges[e]["tri"]) < 2
-        ]
-        return _polygonize_edges(self.points, boundary_edges)
+    def boundary_polygon(self) -> Optional[np.ndarray]:
+        """Largest closed ring of the surviving boundary edges."""
+        _, _, ntri = self._incidence()
+        sel = self.alive & (ntri < 2)
+        return _polygonize_edges(
+            self.points, [tuple(e) for e in self.verts[sel]]
+        )
 
 
 def cell_boundary(
@@ -219,19 +273,26 @@ def cell_boundary(
     connectivity: float = 2.0,
 ) -> Optional[np.ndarray]:
     """Boundary ring (V, 2) for one cell's transcript coordinates, or
-    None if degenerate (reference: boundary.py:157-184)."""
+    None if degenerate (reference API: boundary.py:157-184)."""
     points = np.asarray(points, dtype=np.float64)
-    if np.unique(points, axis=0).shape[0] < 3:
+    if len(points) < 3:
         return None
     if method == "convex_hull":
+        # complex view makes the distinct-points check a fast 1-D unique
+        if np.unique(
+            np.ascontiguousarray(points).view(np.complex128)
+        ).shape[0] < 3:
+            return None
         try:
             hull = ConvexHull(points)
             poly = points[hull.vertices]
         except Exception:
             return None
     elif method == "delaunay":
+        # degenerate inputs (< 3 distinct points, collinear clouds) make
+        # qhull raise, which yields the same None without a precheck
         try:
-            poly = _CellOutline(points).refine(connectivity).polygon()
+            poly = EdgeTable(points).prune(connectivity).boundary_polygon()
         except Exception:
             poly = None
     else:
@@ -246,6 +307,16 @@ def cell_boundary(
     return poly
 
 
+def _boundary_chunk(args):
+    """Worker: outline every cell in one chunk of stacked points."""
+    pts, bounds, method, smoothing, connectivity = args
+    return [
+        cell_boundary(g, method=method, smoothing=smoothing,
+                      connectivity=connectivity)
+        for g in np.split(pts, bounds)
+    ]
+
+
 def generate_boundaries(
     transcripts: pd.DataFrame,
     cell_id: str = "cell_id",
@@ -255,29 +326,75 @@ def generate_boundaries(
     smoothing: int = 0,
     connectivity: float = 2.0,
     progress: bool = False,
+    workers: Optional[int] = None,
 ) -> pd.DataFrame:
     """Per-cell boundary table: cell_id, n_transcripts, polygon (ndarray)
-    (reference: boundary.py:187-217).  Cells with degenerate outlines are
-    dropped."""
-    ids, n_tx, geoms = [], [], []
-    groups = transcripts.groupby(cell_id)
-    it = groups
-    if progress:
-        try:
-            from tqdm import tqdm
+    (reference API: boundary.py:187-217).  Cells with degenerate
+    outlines are dropped.
 
-            it = tqdm(groups, total=groups.ngroups,
-                      desc="Building cell boundaries")
-        except ImportError:
-            pass
-    for cid, g in it:
-        poly = cell_boundary(
-            g[[x, y]].to_numpy(), method=method, smoothing=smoothing,
-            connectivity=connectivity,
-        )
+    Grouping is a single factorize + argsort (no pandas groupby
+    machinery), so per-cell overhead is the triangulation itself.
+    Cells are independent; with ``workers`` (None = auto: parallel for
+    >= 2000 cells, 0/1 = serial, -1 = all cores) chunks are outlined
+    in a process pool — results are identical either way.
+    """
+    codes, uniques = pd.factorize(transcripts[cell_id], sort=True)
+    pts = np.column_stack(
+        (transcripts[x].to_numpy(np.float64),
+         transcripts[y].to_numpy(np.float64))
+    )
+    order = np.argsort(codes, kind="stable")
+    counts = np.bincount(codes[codes >= 0], minlength=len(uniques))
+    pts = pts[order[codes[order] >= 0]]
+    bounds = np.cumsum(counts)[:-1]
+    n_cells = len(uniques)
+
+    if workers is None:
+        workers = -1 if n_cells >= 2000 else 0
+    if workers == -1:
+        import os
+
+        workers = os.cpu_count() or 1
+
+    if workers and workers > 1 and n_cells > workers:
+        import multiprocessing as mp
+
+        n_chunks = workers * 4
+        cell_edges = np.linspace(0, n_cells, n_chunks + 1).astype(int)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        jobs = []
+        for c in range(n_chunks):
+            lo, hi = cell_edges[c], cell_edges[c + 1]
+            chunk_pts = pts[starts[lo]:starts[hi]]
+            chunk_bounds = starts[lo + 1:hi] - starts[lo]
+            jobs.append(
+                (chunk_pts, chunk_bounds, method, smoothing,
+                 connectivity)
+            )
+        ctx = mp.get_context("fork")
+        with ctx.Pool(workers) as pool:
+            chunk_polys = pool.map(_boundary_chunk, jobs)
+        polys = [p for chunk in chunk_polys for p in chunk]
+    else:
+        it = np.split(pts, bounds)
+        if progress:
+            try:
+                from tqdm import tqdm
+
+                it = tqdm(it, desc="Building cell boundaries")
+            except ImportError:
+                pass
+        polys = [
+            cell_boundary(g, method=method, smoothing=smoothing,
+                          connectivity=connectivity)
+            for g in it
+        ]
+
+    ids, n_tx, geoms = [], [], []
+    for i, poly in enumerate(polys):
         if poly is not None:
-            ids.append(str(cid))
-            n_tx.append(len(g))
+            ids.append(str(uniques[i]))
+            n_tx.append(int(counts[i]))
             geoms.append(poly)
     return pd.DataFrame(
         {"cell_id": ids, "n_transcripts": n_tx, "polygon": geoms}
