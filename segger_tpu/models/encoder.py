@@ -102,10 +102,12 @@ class HeteroGATLayer(nn.Module):
         deterministic: bool = True,
         x_tx_src: jnp.ndarray | None = None,
         x_bd_src: jnp.ndarray | None = None,
+        capture_attention: bool = False,
     ):
         """``x_tx_src``/``x_bd_src`` override the *source* feature arrays
         (e.g. halo-extended copies in distributed execution); destination
-        features stay local."""
+        features stay local.  ``capture_attention`` forces the unfused
+        conv path so attention coefficients are sown."""
         if x_tx_src is None:
             x_tx_src = x_tx
         if x_bd_src is None:
@@ -124,10 +126,12 @@ class HeteroGATLayer(nn.Module):
         out_tx = conv_tt(
             x_tx_src, x_tx, tile.tt, deterministic,
             csr_t=tile.tt_t if same_src else None,
+            capture_attention=capture_attention,
         )
         out_bd = conv_tb(
             x_tx_src, x_bd, tile.tb, deterministic,
             csr_t=tile.tb_t if same_src else None,
+            capture_attention=capture_attention,
         )
         if self.use_bd_to_tx and tile.bt is not None:
             conv_bt = GATv2Conv(
@@ -160,13 +164,17 @@ class ISTEncoder(nn.Module):
         deterministic: bool = True,
         exchange=None,
         pos_prenormalized: bool = False,
+        capture_attention: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """``exchange``: optional callback ``(x_tx, x_bd) -> (x_tx_src,
         x_bd_src)`` invoked before every conv layer.  In distributed
         execution it performs the per-layer halo exchange (ppermute of
         boundary-node features) and returns halo-extended source arrays;
         locally it is None and sources == destinations.
-        ``pos_prenormalized``: coordinates are already in [0, 1]."""
+        ``pos_prenormalized``: coordinates are already in [0, 1].
+        ``capture_attention``: use the unfused conv path everywhere so
+        per-layer attention coefficients appear under
+        ``intermediates`` (retrieve via ``mutable=['intermediates']``)."""
         # First projection: gene embedding lookup / bd linear
         # (ist_encoder.py:258-263,312).  Lookup uses the matmul-backward
         # embed op (scatters serialize on TPU; ops/embed.py)
@@ -214,6 +222,7 @@ class ISTEncoder(nn.Module):
             x_tx, x_bd = layer(
                 x_tx, x_bd, tile, deterministic,
                 x_tx_src=x_tx_src, x_bd_src=x_bd_src,
+                capture_attention=capture_attention,
             )
             x_tx, x_bd = nn.gelu(x_tx), nn.gelu(x_bd)
 

@@ -25,6 +25,25 @@ from ..ops import PaddedCSR, csr_softmax
 _NEG_INF = -1e30
 
 
+def _edge_stage_backend() -> str:
+    """Select the fused edge-stage implementation.
+
+    'pallas' — the post-gather fused TPU kernel (ops/pallas/postgather):
+    streams the gathered (N*K, H*C) tensor through VMEM once instead of
+    materializing the p/s/logits/alpha chain in HBM.  Default on TPU.
+    'xla' — the flat-layout XLA path with the hand-derived backward
+    (ops/edge_stage).  Default elsewhere; force with
+    SEGGER_EDGE_STAGE=xla|pallas."""
+    import os
+
+    choice = os.environ.get("SEGGER_EDGE_STAGE", "auto")
+    if choice in ("xla", "pallas"):
+        return choice
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 class GATv2Conv(nn.Module):
     """Single-edge-type GATv2 attention convolution (bipartite-capable)."""
 
@@ -45,10 +64,15 @@ class GATv2Conv(nn.Module):
         csr: PaddedCSR,
         deterministic: bool = True,
         csr_t: PaddedCSR | None = None,
+        capture_attention: bool = False,
     ) -> jnp.ndarray:
         """``csr_t``: optional transpose table enabling the scatter-free
         gather backward (required for fast training on TPU; see
-        ops.gather_agg.csr_gather_t)."""
+        ops.gather_agg.csr_gather_t).  ``capture_attention`` switches to
+        the unfused path for this call so the attention coefficients are
+        sown under ``intermediates`` (the fused kernels never
+        materialize them; reference analogue: the forward-hook capture,
+        ist_encoder.py:137-158)."""
         h, c = self.heads, self.out_channels
         glorot = nn.initializers.glorot_uniform()
         lin_l = nn.Dense(
@@ -68,13 +92,11 @@ class GATv2Conv(nn.Module):
         xl = lin_l(x_src)  # (N_src, H*C)
         xr = lin_r(x_dst)  # (N_dst, H*C)
 
-        if csr_t is not None:
-            # fused edge stage with the hand-derived low-traffic
-            # backward (ops/edge_stage.py).  Attention introspection is
-            # only sown on the unfused path below.
-            from ..ops.edge_stage import gatv2_edge_stage_flat as \
-                gatv2_edge_stage
-
+        if csr_t is not None and not capture_attention:
+            # fused edge stage: Pallas post-gather kernel on TPU,
+            # flat-layout XLA path with the hand-derived low-traffic
+            # backward elsewhere.  Neither materializes the attention
+            # coefficients — pass capture_attention=True to introspect.
             if self.dropout > 0.0 and not deterministic:
                 rng = self.make_rng("dropout")
                 keep = jax.random.bernoulli(
@@ -82,7 +104,20 @@ class GATv2Conv(nn.Module):
                 ).astype(xl.dtype) / (1.0 - self.dropout)
             else:
                 keep = jnp.ones((*csr.idx.shape, h), xl.dtype)
-            out = gatv2_edge_stage(
+
+            backend = _edge_stage_backend()
+            if backend == "pallas":
+                from ..ops.pallas import postgather
+
+                if postgather.supported(csr, h * c, h):
+                    out = postgather.gatv2_edge_stage_pallas(
+                        xl, xr, att[0], keep, csr, csr_t,
+                        (h, self.negative_slope, False),
+                    )
+                    return out + bias
+            from ..ops.edge_stage import gatv2_edge_stage_flat
+
+            out = gatv2_edge_stage_flat(
                 xl, xr, att[0], keep, csr, csr_t,
                 (h, self.negative_slope),
             )

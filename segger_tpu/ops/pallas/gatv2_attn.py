@@ -18,12 +18,14 @@ compiler currently lowers ``lax.gather`` only as ``tpu.dynamic_gather``
 with input/indices/output of identical 2D shape (take_along_axis within
 same-shape arrays; jax/_src/pallas/mosaic/lowering.py gather rule), so
 the arbitrary row gather this kernel needs does not yet compile to TPU.
-The production edge stage therefore uses the XLA path
-(``segger_tpu.models.gatv2``), which fuses the gather into the
-attention computation without materializing (N, K, H*C) and measures
-~88% MXU utilization at Xenium-tile scale (see bench.py).  Revisit when
-Mosaic grows general dynamic gather, or via per-row async-copy DMA for
-the large-K boundary aggregation.
+The production edge stage on TPU is therefore
+``ops.pallas.postgather`` — the gather itself stays in XLA (written to
+HBM exactly once) and everything downstream is fused into one Pallas
+pass.  The stage is HBM-traffic bound, not MXU bound; bench.py reports
+the measured fraction of the HBM roofline (see BENCH_r*.json for the
+current number).  Revisit this fully-fused variant when Mosaic grows
+general dynamic gather, or via per-row async-copy DMA for the large-K
+boundary aggregation.
 
 This is the framework's hot edge-stage op (reference hot loop:
 PyG GATv2Conv + torch_scatter, src/segger/models/ist_encoder.py:109-134).

@@ -1,0 +1,340 @@
+"""Post-gather fused GATv2 edge stage (Pallas TPU kernel).
+
+The edge stage (reference hot loop: PyG GATv2Conv + torch_scatter,
+src/segger/models/ist_encoder.py:109-134) is HBM-traffic bound: the
+gathered ``(N*K, H*C)`` tensor dominates.  Mosaic on this toolchain
+cannot lower any dynamic gather >= 128 rows (see ops/pallas/banded.py
+for the repro), so the gather itself stays in XLA — ``jnp.take`` writes
+the gathered tensor to HBM exactly once — and THIS kernel fuses every
+downstream op (add-xr, leaky-relu, per-head attention logits, masked
+softmax over the K slots, dropout multiply, weighted sum) into a single
+pass that streams that tensor through VMEM once.  The XLA path instead
+materializes the p/s/logits/alpha-expanded chain, re-streaming
+~(N*K, H*C)-sized intermediates several times per layer.
+
+Layout strategy (the part that makes this fast on TPU):
+
+- Work per destination-block of B rows with all K neighbor slots
+  resident: every tensor in flight is (B, K, HC) with HC=128 lanes —
+  full lane utilization, and B*K is sized so blocks stay ~1 MB.
+- Per-head attention logits are *lane-replicated*: instead of forming a
+  ``(·, H)`` tensor (2 of 128 lanes used — the ~2% lane-utilization
+  trap measured on the XLA path, docs/design.md §2), we compute
+  ``L = s @ AM`` where ``AM[i, j] = att_flat[i] * [head(i) == head(j)]``
+  is a host-built (HC, HC) matrix.  ONE MXU matmul per block (not one
+  per slot — small serialized matmuls are latency-bound) yields logits
+  already broadcast across each head's C lanes, so the softmax over the
+  K axis and the weighted sum stay fully vectorized.
+- Dropout keep-masks arrive compactly as ``(B, K, H)`` and are lane-
+  expanded by one (H, HC) matmul (E[h, j] = [head(j) == h]).
+- Softmax statistics are always f32 even when features are bf16.
+
+Backward: same blocking, recomputes the cheap forward chain from the
+(already materialized) gathered tensor and emits dgather/dxr/datt/dkeep
+in one kernel; dxl is then a scatter-free transpose-space gather in XLA
+(csr_t), identical to ops/edge_stage.py's approach.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover - exercised on TPU images
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+from ..padded_csr import PaddedCSR
+
+_NEG_INF = -1e30
+_F32 = jnp.float32
+
+
+def _block_rows(k: int, for_bwd: bool = False) -> int:
+    """Destination rows per grid step: keep B*K edge rows bounded so the
+    (B, K, HC) f32 tensors in flight stay ~1 MB (0.5 MB for the
+    backward, which holds more of them)."""
+    target = 1024 if for_bwd else 2048
+    return max(8, min(512, (target // max(k, 1)) // 8 * 8))
+
+
+def _head_matrices(att: jnp.ndarray, dtype) -> Tuple[jnp.ndarray, ...]:
+    """Build the lane-replication matrices for ``att`` of shape (H, C).
+
+    AM : (HC, HC) — s @ AM gives per-head logits replicated across the
+                    head's C lanes.
+    MS : (HC, HC) — group-sum-broadcast (same-head lane sums), used in
+                    the backward for dA.
+    E  : (H, HC)  — head -> lane-group expander.
+    """
+    heads, ch = att.shape
+    hc = heads * ch
+    group = jnp.arange(hc) // ch
+    same = (group[:, None] == group[None, :]).astype(dtype)  # (HC, HC)
+    att_f = att.reshape(hc).astype(dtype)
+    am = att_f[:, None] * same
+    e = (jnp.arange(heads)[:, None] == group[None, :]).astype(dtype)
+    return am, same, e
+
+
+def _alpha3(g, xr, mask3, am, slope):
+    """Masked per-head attention over the K axis, lane-replicated.
+
+    Returns (s, alpha) with s the leaky-relu pre-activation (dt) and
+    alpha the f32 softmax coefficients, both (B, K, HC)."""
+    b, k, hc = g.shape
+    p = g + xr[:, None, :]
+    # sign test in f32: Mosaic rejects bf16 comparisons
+    s = jnp.where(p.astype(_F32) > 0, p, slope * p)
+    logits = jnp.dot(
+        s.reshape(b * k, hc), am, preferred_element_type=_F32
+    ).reshape(b, k, hc)
+    z = jnp.where(mask3, logits, _NEG_INF)
+    z = z - z.max(axis=1, keepdims=True)
+    ez = jnp.where(mask3, jnp.exp(z), 0.0)
+    alpha = ez / jnp.maximum(ez.sum(axis=1, keepdims=True), 1e-30)
+    return s, alpha
+
+
+def _keep3(keep, e):
+    """(B, K, H) keep multipliers -> (B, K, HC) lane-expanded, f32."""
+    b, k, h = keep.shape
+    hc = e.shape[1]
+    return jnp.dot(
+        keep.reshape(b * k, h), e, preferred_element_type=_F32
+    ).reshape(b, k, hc)
+
+
+def _fwd_kernel(g_ref, xr_ref, mask_ref, keep_ref, am_ref, e_ref,
+                out_ref, *, slope: float):
+    """One destination block: fused leaky/logits/softmax/weighted-sum.
+
+    g_ref    : (B, K, HC) gathered source features
+    xr_ref   : (B, HC)
+    mask_ref : (B, K) f32 (1.0 = real edge)
+    keep_ref : (B, K, H) f32 dropout multipliers
+    am_ref   : (HC, HC) attention lane-replication matrix
+    e_ref    : (H, HC) head -> lanes expander
+    out_ref  : (B, HC)
+    """
+    g = g_ref[:]
+    mask3 = mask_ref[:][..., None] > 0
+    _, alpha = _alpha3(g, xr_ref[:], mask3, am_ref[:], slope)
+    w = alpha * _keep3(keep_ref[:], e_ref[:])
+    out = (w * g.astype(_F32)).sum(axis=1)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel(g_ref, xr_ref, mask_ref, keep_ref, am_ref, e_ref,
+                ms_ref, go_ref,
+                dg_ref, dxr_ref, datt_ref, dkeep_ref,
+                *, heads: int, slope: float):
+    """Backward over one block:
+
+      dA    = group-sum-broadcast(G ⊗ g)              (lane space)
+      de    = alpha * (dA keep - Σ_k alpha dA keep)    (softmax VJP)
+      dg    = alpha keep G + de * att * leaky'(p)
+      dxr   = Σ_k de * att * leaky'(p)
+      datt += Σ_rows Σ_k de * s                        (att lane layout)
+      dkeep = head-compact(alpha * dA)
+    """
+    blk = pl.program_id(0)
+    g = g_ref[:]
+    xr = xr_ref[:]
+    am = am_ref[:]
+    ms = ms_ref[:]
+    e = e_ref[:]
+    go = go_ref[:]
+    dt = xr.dtype
+    b, k, hc = g.shape
+    ch = hc // heads
+    # att in lane layout = diagonal of AM (static iota mask)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hc, hc), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hc, hc), 1)
+    att32 = jnp.sum(
+        jnp.where(ri == ci, am, 0.0), axis=0, keepdims=True
+    ).astype(_F32)                                     # (1, HC)
+
+    mask3 = mask_ref[:][..., None] > 0
+    s, alpha = _alpha3(g, xr, mask3, am, slope)
+    kl = _keep3(keep_ref[:], e)
+
+    go3 = go.astype(_F32)[:, None, :]                  # (B, 1, HC)
+    t = (go[:, None, :] * g).astype(dt)                # (B, K, HC)
+    dA = jnp.dot(
+        t.reshape(b * k, hc), ms, preferred_element_type=_F32
+    ).reshape(b, k, hc)
+    dalpha = dA * kl
+    inner = (alpha * dalpha).sum(axis=1, keepdims=True)
+    de = jnp.where(mask3, alpha * (dalpha - inner), 0.0)
+
+    datt_part = (de * s.astype(_F32)).reshape(b * k, hc).sum(
+        axis=0, keepdims=True
+    )                                                  # (1, HC)
+    p_pos = (g + xr[:, None, :]).astype(_F32) > 0
+    leak = jnp.where(p_pos, 1.0, slope)
+    dp = de * att32[None] * leak
+    dxr_ref[:] = dp.sum(axis=1).astype(dt)
+    # head-compact alpha*dA: each head's lanes hold one value; summing
+    # via e.T over-counts by ch — scale by 1/ch.
+    # f32 accumulate (Mosaic requires 32-bit matmul acc), cast after
+    dkeep = jnp.dot(
+        (alpha * dA * (1.0 / ch)).reshape(b * k, hc),
+        e.astype(_F32).T,
+        preferred_element_type=_F32,
+    ).reshape(b, k, heads)
+    dkeep_ref[:] = dkeep.astype(dt)
+    dg = alpha * kl * go3 + dp
+    dg_ref[:] = jnp.where(mask3, dg, 0.0).astype(dt)
+
+    @pl.when(blk == 0)
+    def _():
+        datt_ref[:] = jnp.zeros_like(datt_ref)
+    datt_ref[:] = datt_ref[:] + datt_part.astype(datt_ref.dtype)
+
+
+def _pad_rows(x, n_pad, fill=0):
+    if x.shape[0] == n_pad:
+        return x
+    pad = [(0, n_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def gatv2_edge_stage_pallas(
+    xl, xr, att, keep_mask, csr: PaddedCSR, csr_t: PaddedCSR,
+    config: tuple,
+):
+    """Drop-in replacement for ops.edge_stage.gatv2_edge_stage_flat.
+
+    xl : (N_src, HC); xr : (N_dst, HC); att : (H, C)
+    keep_mask : (N_dst, K, H) dropout multipliers (ones = no dropout)
+    config : (heads, negative_slope, interpret) — static.
+    """
+    out, _ = _fwd_rule(xl, xr, att, keep_mask, csr, csr_t, config)
+    return out
+
+
+def _prep(xl, xr, keep_mask, csr, blk):
+    """Gather + pad to the block multiple."""
+    n_dst, k = csr.idx.shape
+    hc = xl.shape[-1]
+    n_pad = -(-n_dst // blk) * blk
+    idx = _pad_rows(csr.idx, n_pad)
+    # mask stays f32: 16-bit minor-dim broadcast is unsupported in
+    # Mosaic, and the array is tiny
+    mask_f = _pad_rows(csr.mask, n_pad).astype(jnp.float32)
+    g3 = jnp.take(xl, idx.reshape(-1), axis=0).reshape(n_pad, k, hc)
+    xr_p = _pad_rows(xr, n_pad)
+    keep = _pad_rows(keep_mask.astype(xl.dtype), n_pad)
+    return g3, xr_p, keep, mask_f, n_dst, n_pad, k, hc
+
+
+def _common_specs(blk, k, hc, heads):
+    return [
+        pl.BlockSpec((blk, k, hc), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk, hc), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk, k), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk, k, heads), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hc, hc), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, hc), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _fwd_rule(xl, xr, att, keep_mask, csr, csr_t, config):
+    heads, slope, interpret = config
+    blk = _block_rows(csr.idx.shape[1])
+    g3, xr_p, keep, mask_f, n_dst, n_pad, k, hc = _prep(
+        xl, xr, keep_mask, csr, blk
+    )
+    am, ms, e = _head_matrices(att, xr.dtype)
+    kern = functools.partial(_fwd_kernel, slope=slope)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_pad // blk,),
+        in_specs=_common_specs(blk, k, hc, heads),
+        out_specs=pl.BlockSpec((blk, hc), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, hc), xr.dtype),
+        interpret=interpret,
+    )(g3, xr_p, mask_f, keep, am, e)
+    return out[:n_dst], (xl, xr, att, keep_mask, csr, csr_t)
+
+
+def _bwd_rule(config, res, G):
+    heads, slope, interpret = config
+    xl, xr, att, keep_mask, csr, csr_t = res
+    blk = _block_rows(csr.idx.shape[1], for_bwd=True)
+    g3, xr_p, keep, mask_f, n_dst, n_pad, k, hc = _prep(
+        xl, xr, keep_mask, csr, blk
+    )
+    G_p = _pad_rows(G, n_pad)
+    am, ms, e = _head_matrices(att, xr.dtype)
+    kern = functools.partial(_bwd_kernel, heads=heads, slope=slope)
+    dg3, dxr_p, datt_f, dkeep = pl.pallas_call(
+        kern,
+        grid=(n_pad // blk,),
+        in_specs=_common_specs(blk, k, hc, heads) + [
+            pl.BlockSpec((hc, hc), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, hc), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, k, hc), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, hc), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, k, heads), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, k, hc), xr.dtype),
+            jax.ShapeDtypeStruct((n_pad, hc), xr.dtype),
+            jax.ShapeDtypeStruct((1, hc), _F32),
+            jax.ShapeDtypeStruct((n_pad, k, heads), xr.dtype),
+        ],
+        interpret=interpret,
+    )(g3, xr_p, mask_f, keep, am, e, ms, G_p)
+
+    dxr = dxr_p[:n_dst]
+    ch = hc // heads
+    datt = datt_f.reshape(heads, ch).astype(att.dtype)
+    dkeep = dkeep[:n_dst].astype(keep_mask.dtype)
+    # dxl: transpose-space gather of dg (scatter-free, same as
+    # ops/edge_stage.py): csr_t.idx holds flat (dst*K + slot) positions.
+    dg_flat = dg3[:n_dst].reshape(n_dst * k, hc)
+    rows = jnp.take(dg_flat, csr_t.idx, axis=0)       # (Ns, Kt, HC)
+    dxl = jnp.where(csr_t.mask[..., None], rows, 0.0).sum(axis=1)
+    return dxl.astype(xl.dtype), dxr, datt, dkeep, None, None
+
+
+gatv2_edge_stage_pallas.defvjp(_fwd_rule, _bwd_rule)
+
+
+def supported(csr: PaddedCSR, hc: int, heads: int) -> bool:
+    """Shape gate for the Pallas path: K bounded so a (B, K, HC) block
+    fits VMEM at a useful B, lanes divisible by heads."""
+    if not _HAS_PLTPU:
+        return False
+    k = csr.idx.shape[1]
+    if k > 128 or k < 1:
+        return False
+    if hc % heads != 0 or hc > 512:
+        return False
+    return True

@@ -167,3 +167,47 @@ def test_positional_embedding_translation_invariance(rng):
     np.testing.assert_allclose(
         np.asarray(a["tx"]), np.asarray(b["tx"]), rtol=1e-3, atol=1e-4
     )
+
+
+def test_capture_attention_on_fused_path(rng):
+    """VERDICT r1 item 7: attention introspection must work in the
+    default configuration (transpose tables present -> fused edge
+    stage).  ``capture_attention=True`` switches to the unfused path for
+    that call, sowing per-layer coefficients, and the embeddings it
+    returns must match the fused forward."""
+    from segger_tpu.ops import transpose_csr
+
+    tile = make_tile(rng)
+    tile = tile.replace(
+        tt_t=jax.tree.map(
+            jnp.asarray, transpose_csr(jax.tree.map(np.asarray, tile.tt),
+                                       n_src=60)
+        ),
+        tb_t=jax.tree.map(
+            jnp.asarray, transpose_csr(jax.tree.map(np.asarray, tile.tb),
+                                       n_src=60)
+        ),
+    )
+    model = ISTEncoder(
+        n_genes=12, in_channels=8, hidden_channels=8, out_channels=8,
+        n_mid_layers=1, n_heads=2,
+    )
+    params = model.init(jax.random.PRNGKey(0), tile)
+    fused = model.apply(params, tile)
+    unfused, state = model.apply(
+        params, tile, capture_attention=True, mutable=["intermediates"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["tx"]), np.asarray(unfused["tx"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    atts = [
+        np.asarray(v) for v in
+        jax.tree.leaves(state["intermediates"])
+    ]
+    # 3 layers x (tt, tb) convs minimum; every alpha row sums to 1 or 0
+    assert len(atts) >= 6
+    for a in atts:
+        rows = a.sum(axis=1)
+        ok = np.isclose(rows, 1.0, atol=1e-5) | np.isclose(rows, 0.0)
+        assert ok.all()

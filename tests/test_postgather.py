@@ -1,0 +1,133 @@
+"""Post-gather fused Pallas edge stage vs the XLA flat path.
+
+Runs the kernel in interpret mode on the CPU mesh (the TPU lowering is
+exercised by bench.py / the driver); checks forward and all four
+gradients against ops.edge_stage.gatv2_edge_stage_flat, which is itself
+validated against dense GATv2 math in test_edge_stage.py.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segger_tpu.ops import coo_to_padded_csr, transpose_csr
+from segger_tpu.ops.edge_stage import gatv2_edge_stage_flat
+from segger_tpu.ops.pallas import postgather
+
+
+def _setup(rng, n_src=700, n_dst=500, n_edges=2000, heads=2, ch=64):
+    hc = heads * ch
+    src = rng.integers(0, n_src, n_edges)
+    dst = rng.integers(0, n_dst, n_edges)
+    csr = coo_to_padded_csr(dst, src, n_dst=n_dst, pad_to_multiple=8)
+    csr_t = transpose_csr(csr, n_src=n_src)
+    csr = jax.tree.map(jnp.asarray, csr)
+    csr_t = jax.tree.map(jnp.asarray, csr_t)
+    xl = jnp.asarray(rng.normal(size=(n_src, hc)), jnp.float32)
+    xr = jnp.asarray(rng.normal(size=(n_dst, hc)), jnp.float32)
+    att = jnp.asarray(rng.normal(size=(heads, ch)), jnp.float32)
+    return csr, csr_t, xl, xr, att, heads
+
+
+def test_forward_matches_flat(rng):
+    csr, csr_t, xl, xr, att, heads = _setup(rng)
+    keep = jnp.ones((*csr.idx.shape, heads), jnp.float32)
+    ref = gatv2_edge_stage_flat(xl, xr, att, keep, csr, csr_t,
+                                (heads, 0.2))
+    out = postgather.gatv2_edge_stage_pallas(
+        xl, xr, att, keep, csr, csr_t, (heads, 0.2, True)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_gradients_match_flat(rng):
+    csr, csr_t, xl, xr, att, heads = _setup(rng)
+    k = csr.idx.shape[1]
+    keep = jnp.asarray(
+        (rng.uniform(size=(csr.idx.shape[0], k, heads)) < 0.8) / 0.8,
+        jnp.float32,
+    )
+    cot = jnp.asarray(rng.normal(size=(csr.idx.shape[0],
+                                       xl.shape[1])), jnp.float32)
+
+    def loss(fn, cfg):
+        def f(xl, xr, att, keep):
+            return (fn(xl, xr, att, keep, csr, csr_t, cfg) * cot).sum()
+        return jax.grad(f, argnums=(0, 1, 2, 3))(xl, xr, att, keep)
+
+    g_ref = loss(gatv2_edge_stage_flat, (heads, 0.2))
+    g_pg = loss(postgather.gatv2_edge_stage_pallas, (heads, 0.2, True))
+    for name, a, b in zip(("dxl", "dxr", "datt", "dkeep"), g_ref, g_pg):
+        scale = float(jnp.abs(a).max()) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=3e-5,
+            err_msg=name,
+        )
+
+
+def test_isolated_destinations_zero(rng):
+    """Rows with no in-edges output exactly zero (bias is added by the
+    caller), matching PyG's zero-fill semantics."""
+    csr, csr_t, xl, xr, att, heads = _setup(rng, n_edges=300)
+    keep = jnp.ones((*csr.idx.shape, heads), jnp.float32)
+    out = postgather.gatv2_edge_stage_pallas(
+        xl, xr, att, keep, csr, csr_t, (heads, 0.2, True)
+    )
+    empty = np.asarray(csr.mask).sum(1) == 0
+    assert empty.any()
+    np.testing.assert_array_equal(np.asarray(out)[empty], 0.0)
+
+
+def test_bf16_inputs(rng):
+    """bf16 features run through the same kernel with f32 softmax
+    statistics; results match the f32 path to bf16 tolerance."""
+    csr, csr_t, xl, xr, att, heads = _setup(rng)
+    keep = jnp.ones((*csr.idx.shape, heads), jnp.float32)
+    ref = postgather.gatv2_edge_stage_pallas(
+        xl, xr, att, keep, csr, csr_t, (heads, 0.2, True)
+    )
+    out = postgather.gatv2_edge_stage_pallas(
+        xl.astype(jnp.bfloat16), xr.astype(jnp.bfloat16),
+        att.astype(jnp.bfloat16),
+        keep.astype(jnp.bfloat16), csr, csr_t, (heads, 0.2, True),
+    )
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=0.15,
+        rtol=0.1,
+    )
+
+
+def test_block_rows_adapt():
+    assert postgather._block_rows(8) == 256
+    assert postgather._block_rows(16) == 128
+    assert postgather._block_rows(64) == 32
+    assert postgather._block_rows(8, for_bwd=True) == 128
+
+
+def test_supported_gate(rng):
+    csr, _, xl, _, _, heads = _setup(rng)
+    if postgather._HAS_PLTPU:
+        assert postgather.supported(csr, 128, 2)
+        assert not postgather.supported(csr, 127, 2)  # lanes % heads
+        assert not postgather.supported(csr, 1024, 2)  # VMEM
+
+
+def test_vmap(rng):
+    """The trainer vmaps tile batches over the op."""
+    csr, csr_t, xl, xr, att, heads = _setup(rng, n_src=300, n_dst=200,
+                                            n_edges=800)
+    keep = jnp.ones((*csr.idx.shape, heads), jnp.float32)
+    xls = jnp.stack([xl, xl * 2.0])
+    xrs = jnp.stack([xr, xr * 0.5])
+
+    def one(a, b):
+        return postgather.gatv2_edge_stage_pallas(
+            a, b, att, keep, csr, csr_t, (heads, 0.2, True)
+        )
+
+    batched = jax.vmap(one)(xls, xrs)
+    for i in range(2):
+        np.testing.assert_allclose(
+            batched[i], one(xls[i], xrs[i]), atol=2e-5
+        )
