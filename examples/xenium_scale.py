@@ -16,6 +16,8 @@ def main():
     ap.add_argument("--n-cells", type=int, default=4000)
     ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     import os
@@ -78,6 +80,7 @@ def main():
     tc = TrainConfig(
         hidden_channels=64, out_channels=64, n_mid_layers=2, n_heads=2,
         max_epochs=args.epochs, scan_steps=8, seed=0,
+        compute_dtype=args.dtype,
     )
     trainer = SeggerTrainer(g, tc)
     fit_tiles = make_fit_tiles(g, pipeline.tree, margin=10.0)

@@ -477,25 +477,65 @@ def first_fit_decreasing_bucketed(
 
 
 def harmonic_k(
-    values: np.ndarray, max_num: float, k: int = 4
+    values: np.ndarray,
+    max_num: float,
+    k: int = 6,
+    skip_too_big: bool = False,
 ) -> List[np.ndarray]:
-    """Harmonic-k online packing (present in the reference but unused by
-    default; sampler.py:85-183): items are classed by size into harmonic
-    intervals (max/(j+1), max/j] and each class packs j items per bin."""
-    values = np.asarray(values)
-    classes: List[List[list]] = [[] for _ in range(k)]
+    """Harmonic-k online packing (reference: sampler.py:85-183; present
+    there but unused by default — PartitionSampler only ever selects BFD
+    or bucketed FFD, sampler.py:342-345).
+
+    Items arrive in order.  An item with size fraction f = v/max_num is
+    "large" when f > 1/k: it falls in the harmonic interval
+    (1/(j+1), 1/j] with j = floor(1/f), and large items of class j are
+    packed j to a bin (a class bin is emitted as soon as it holds j
+    items).  Items with f <= 1/k are "small" and packed first-fit
+    against each small bin's remaining capacity.
+
+    Raises ValueError for items <= 0 or > max_num unless
+    ``skip_too_big`` is set, in which case they are dropped (same
+    contract as the reference).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    values = np.asarray(values, dtype=float)
+    bad = (values <= 0) | (values > max_num)
+    if bad.any():
+        if not skip_too_big:
+            raise ValueError(
+                "all item sizes must be > 0 and <= max_num"
+            )
+        stream = [(i, v) for i, v in enumerate(values) if not bad[i]]
+    else:
+        stream = list(enumerate(values))
+
     bins: List[list] = []
-    for i in range(len(values)):
-        v = values[i]
-        j = min(int(max_num // max(v, 1e-9)), k)
-        if j <= 1:
-            bins.append([i])
-            continue
-        cls = classes[j - 1]
-        if cls and len(cls[-1]) < j:
-            cls[-1].append(i)
+    open_class: dict = {}            # j -> partially filled class bin
+    small_bins: List[list] = []
+    small_room: List[float] = []
+
+    for i, v in stream:
+        f = v / max_num
+        if f > 1.0 / k:
+            j = int(1.0 // f)
+            cur = open_class.setdefault(j, [])
+            cur.append(i)
+            if len(cur) == j:
+                bins.append(cur)
+                open_class[j] = []
         else:
-            cls.append([i])
-    for cls in classes:
-        bins.extend(cls)
+            for b, room in enumerate(small_room):
+                if v <= room:
+                    small_bins[b].append(i)
+                    small_room[b] -= v
+                    break
+            else:
+                small_bins.append([i])
+                small_room.append(max_num - v)
+
+    for cur in open_class.values():
+        if cur:
+            bins.append(cur)
+    bins.extend(small_bins)
     return [np.asarray(b) for b in bins]

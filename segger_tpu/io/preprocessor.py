@@ -394,12 +394,18 @@ class CosMXPreprocessor(ISTPreprocessor):
                     f"CosMX directory must contain {pat} (found {n})"
                 )
 
-    @cached_property
-    def transcripts(self) -> pd.DataFrame:
+    def _standardize_batch(
+        self, df: pd.DataFrame, row_offset: int
+    ) -> pd.DataFrame:
+        """Standardize one raw CosMX CSV batch; ``row_offset`` keeps
+        row_index equal to the absolute CSV row position under
+        streaming."""
         raw, std = CosMxTranscriptFields(), StandardTranscriptFields()
-        path = next(self.data_dir.glob(raw.filename))
-        df = pd.read_csv(path)
-        df.insert(0, std.row_index, np.arange(len(df), dtype=np.int64))
+        df = df.copy()
+        df.insert(
+            0, std.row_index,
+            np.arange(row_offset, row_offset + len(df), dtype=np.int64),
+        )
         pattern = "|".join(
             s.replace("*", ".*") for s in raw.filter_substrings
         )
@@ -437,6 +443,24 @@ class CosMXPreprocessor(ISTPreprocessor):
             }
         ).reset_index(drop=True)
 
+    def iter_transcripts(self, batch_rows: int = 4_000_000):
+        """Stream standardized transcript batches from the CSV without
+        materializing the whole table (chunked analogue of the Xenium
+        lazy scan; reference loads CosMX CSVs eagerly,
+        preprocessor.py:252-299)."""
+        raw = CosMxTranscriptFields()
+        path = next(self.data_dir.glob(raw.filename))
+        offset = 0
+        for chunk in pd.read_csv(path, chunksize=batch_rows):
+            yield self._standardize_batch(chunk, offset)
+            offset += len(chunk)
+
+    @cached_property
+    def transcripts(self) -> pd.DataFrame:
+        raw = CosMxTranscriptFields()
+        path = next(self.data_dir.glob(raw.filename))
+        return self._standardize_batch(pd.read_csv(path), 0)
+
     @cached_property
     def boundaries(self) -> Tuple[pd.DataFrame, Dict]:
         from .cosmx import get_cosmx_polygons
@@ -467,11 +491,28 @@ class MerscopePreprocessor(ISTPreprocessor):
         if not (data_dir / bd.cell_filename).exists():
             raise IOError(f"No {bd.cell_filename} in {data_dir}")
 
-    @cached_property
-    def transcripts(self) -> pd.DataFrame:
+    def _nucleus_items(self):
+        """(cell_id, polygon) pairs for nucleus boundaries, cached for
+        per-batch compartment assignment."""
+        if not hasattr(self, "_nuc_items_cache"):
+            _, polys = self.boundaries
+            std_b = StandardBoundaryFields()
+            self._nuc_items_cache = [
+                (cid, p)
+                for (cid, btype), p in polys.items()
+                if btype == std_b.nucleus_value
+            ]
+        return self._nuc_items_cache
+
+    def _standardize_batch(
+        self, df: pd.DataFrame, row_offset: int
+    ) -> pd.DataFrame:
         raw, std = MerscopeTranscriptFields(), StandardTranscriptFields()
-        df = pd.read_csv(self.data_dir / raw.filename)
-        df.insert(0, std.row_index, np.arange(len(df), dtype=np.int64))
+        df = df.copy()
+        df.insert(
+            0, std.row_index,
+            np.arange(row_offset, row_offset + len(df), dtype=np.int64),
+        )
         # drop Blank-* control probes (vizgen convention)
         df = df[~df[raw.feature].astype(str).str.startswith("Blank")]
         cell_raw = df[raw.cell_id]
@@ -485,13 +526,8 @@ class MerscopePreprocessor(ISTPreprocessor):
             std.extracellular_value,
         ).astype(np.int8)
         # nuclear compartment via containment in nucleus polygons
-        _, polys = self.boundaries
-        std_b = StandardBoundaryFields()
-        nuc_items = [
-            (cid, p)
-            for (cid, btype), p in polys.items()
-            if btype == std_b.nucleus_value
-        ]
+        # (MERSCOPE transcripts carry no compartment column)
+        nuc_items = self._nucleus_items()
         if nuc_items:
             from ..geometry.query import points_in_polygons
 
@@ -513,6 +549,23 @@ class MerscopePreprocessor(ISTPreprocessor):
                 std.compartment: compartment,
             }
         ).reset_index(drop=True)
+
+    def iter_transcripts(self, batch_rows: int = 4_000_000):
+        """Stream standardized transcript batches from the CSV (chunked;
+        whole-slide MERSCOPE tables never materialize in RAM)."""
+        raw = MerscopeTranscriptFields()
+        offset = 0
+        for chunk in pd.read_csv(
+            self.data_dir / raw.filename, chunksize=batch_rows
+        ):
+            yield self._standardize_batch(chunk, offset)
+            offset += len(chunk)
+
+    @cached_property
+    def transcripts(self) -> pd.DataFrame:
+        raw = MerscopeTranscriptFields()
+        df = pd.read_csv(self.data_dir / raw.filename)
+        return self._standardize_batch(df, 0)
 
     def _read_wkb_parquet(self, path: Path):
         from .wkb import wkb_to_polygon

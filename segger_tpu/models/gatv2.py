@@ -97,15 +97,22 @@ class GATv2Conv(nn.Module):
             # flat-layout XLA path with the hand-derived low-traffic
             # backward elsewhere.  Neither materializes the attention
             # coefficients — pass capture_attention=True to introspect.
-            if self.dropout > 0.0 and not deterministic:
+            backend = _edge_stage_backend()
+            dropout_on = self.dropout > 0.0 and not deterministic
+            if dropout_on:
                 rng = self.make_rng("dropout")
                 keep = jax.random.bernoulli(
                     rng, 1.0 - self.dropout, (*csr.idx.shape, h)
                 ).astype(xl.dtype) / (1.0 - self.dropout)
+            elif backend == "pallas":
+                # (1, 1, H) sentinel: the kernel skips the keep loads,
+                # lane expansion, and multiply entirely
+                from ..ops.pallas import postgather
+
+                keep = postgather.no_dropout_keep(h, xl.dtype)
             else:
                 keep = jnp.ones((*csr.idx.shape, h), xl.dtype)
 
-            backend = _edge_stage_backend()
             if backend == "pallas":
                 from ..ops.pallas import postgather
 
@@ -115,6 +122,8 @@ class GATv2Conv(nn.Module):
                         (h, self.negative_slope, False),
                     )
                     return out + bias
+                if not dropout_on:
+                    keep = jnp.ones((*csr.idx.shape, h), xl.dtype)
             from ..ops.edge_stage import gatv2_edge_stage_flat
 
             out = gatv2_edge_stage_flat(

@@ -132,6 +132,18 @@ def _fwd_kernel(g_ref, xr_ref, mask_ref, keep_ref, am_ref, e_ref,
     out_ref[:] = out.astype(out_ref.dtype)
 
 
+def _fwd_kernel_nokeep(g_ref, xr_ref, mask_ref, am_ref, out_ref,
+                       *, slope: float):
+    """Deterministic-mode forward: no dropout multipliers, so the
+    (B, K, H) keep load, its lane-expansion matmul, and the extra
+    (B, K, HC) multiply are all skipped."""
+    g = g_ref[:]
+    mask3 = mask_ref[:][..., None] > 0
+    _, alpha = _alpha3(g, xr_ref[:], mask3, am_ref[:], slope)
+    out = (alpha * g.astype(_F32)).sum(axis=1)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
 def _bwd_kernel(g_ref, xr_ref, mask_ref, keep_ref, am_ref, e_ref,
                 ms_ref, go_ref,
                 dg_ref, dxr_ref, datt_ref, dkeep_ref,
@@ -200,6 +212,52 @@ def _bwd_kernel(g_ref, xr_ref, mask_ref, keep_ref, am_ref, e_ref,
     datt_ref[:] = datt_ref[:] + datt_part.astype(datt_ref.dtype)
 
 
+def _bwd_kernel_nokeep(g_ref, xr_ref, mask_ref, am_ref, ms_ref, go_ref,
+                       dg_ref, dxr_ref, datt_ref,
+                       *, heads: int, slope: float):
+    """Deterministic-mode backward (keep == 1): drops the keep loads,
+    the lane expansions, and the dkeep output."""
+    blk = pl.program_id(0)
+    g = g_ref[:]
+    xr = xr_ref[:]
+    am = am_ref[:]
+    ms = ms_ref[:]
+    go = go_ref[:]
+    dt = xr.dtype
+    b, k, hc = g.shape
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hc, hc), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hc, hc), 1)
+    att32 = jnp.sum(
+        jnp.where(ri == ci, am, 0.0), axis=0, keepdims=True
+    ).astype(_F32)                                     # (1, HC)
+
+    mask3 = mask_ref[:][..., None] > 0
+    s, alpha = _alpha3(g, xr, mask3, am, slope)
+
+    go3 = go.astype(_F32)[:, None, :]
+    t = (go[:, None, :] * g).astype(dt)
+    dA = jnp.dot(
+        t.reshape(b * k, hc), ms, preferred_element_type=_F32
+    ).reshape(b, k, hc)
+    inner = (alpha * dA).sum(axis=1, keepdims=True)
+    de = jnp.where(mask3, alpha * (dA - inner), 0.0)
+
+    datt_part = (de * s.astype(_F32)).reshape(b * k, hc).sum(
+        axis=0, keepdims=True
+    )
+    p_pos = (g + xr[:, None, :]).astype(_F32) > 0
+    leak = jnp.where(p_pos, 1.0, slope)
+    dp = de * att32[None] * leak
+    dxr_ref[:] = dp.sum(axis=1).astype(dt)
+    dg = alpha * go3 + dp
+    dg_ref[:] = jnp.where(mask3, dg, 0.0).astype(dt)
+
+    @pl.when(blk == 0)
+    def _():
+        datt_ref[:] = jnp.zeros_like(datt_ref)
+    datt_ref[:] = datt_ref[:] + datt_part.astype(datt_ref.dtype)
+
+
 def _pad_rows(x, n_pad, fill=0):
     if x.shape[0] == n_pad:
         return x
@@ -222,6 +280,18 @@ def gatv2_edge_stage_pallas(
     return out
 
 
+def _no_keep(keep_mask) -> bool:
+    """A (1, 1, H) keep array is the no-dropout sentinel (see
+    NO_DROPOUT_KEEP); it selects kernels that skip the keep machinery
+    entirely."""
+    return keep_mask.shape[0] == 1
+
+
+def no_dropout_keep(heads: int, dtype=jnp.float32):
+    """Sentinel keep_mask for deterministic calls: shape (1, 1, H)."""
+    return jnp.ones((1, 1, heads), dtype)
+
+
 def _prep(xl, xr, keep_mask, csr, blk):
     """Gather + pad to the block multiple."""
     n_dst, k = csr.idx.shape
@@ -233,25 +303,31 @@ def _prep(xl, xr, keep_mask, csr, blk):
     mask_f = _pad_rows(csr.mask, n_pad).astype(jnp.float32)
     g3 = jnp.take(xl, idx.reshape(-1), axis=0).reshape(n_pad, k, hc)
     xr_p = _pad_rows(xr, n_pad)
-    keep = _pad_rows(keep_mask.astype(xl.dtype), n_pad)
+    if _no_keep(keep_mask):
+        keep = None
+    else:
+        keep = _pad_rows(keep_mask.astype(xl.dtype), n_pad)
     return g3, xr_p, keep, mask_f, n_dst, n_pad, k, hc
 
 
-def _common_specs(blk, k, hc, heads):
-    return [
+def _common_specs(blk, k, hc, heads, with_keep):
+    specs = [
         pl.BlockSpec((blk, k, hc), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((blk, hc), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((blk, k), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((blk, k, heads), lambda b: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((hc, hc), lambda b: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((heads, hc), lambda b: (0, 0),
-                     memory_space=pltpu.VMEM),
     ]
+    if with_keep:
+        specs.append(pl.BlockSpec((blk, k, heads), lambda b: (b, 0, 0),
+                                  memory_space=pltpu.VMEM))
+    specs.append(pl.BlockSpec((hc, hc), lambda b: (0, 0),
+                              memory_space=pltpu.VMEM))
+    if with_keep:
+        specs.append(pl.BlockSpec((heads, hc), lambda b: (0, 0),
+                                  memory_space=pltpu.VMEM))
+    return specs
 
 
 def _fwd_rule(xl, xr, att, keep_mask, csr, csr_t, config):
@@ -261,16 +337,22 @@ def _fwd_rule(xl, xr, att, keep_mask, csr, csr_t, config):
         xl, xr, keep_mask, csr, blk
     )
     am, ms, e = _head_matrices(att, xr.dtype)
-    kern = functools.partial(_fwd_kernel, slope=slope)
+    if keep is None:
+        kern = functools.partial(_fwd_kernel_nokeep, slope=slope)
+        operands = (g3, xr_p, mask_f, am)
+    else:
+        kern = functools.partial(_fwd_kernel, slope=slope)
+        operands = (g3, xr_p, mask_f, keep, am, e)
     out = pl.pallas_call(
         kern,
         grid=(n_pad // blk,),
-        in_specs=_common_specs(blk, k, hc, heads),
+        in_specs=_common_specs(blk, k, hc, heads,
+                               with_keep=keep is not None),
         out_specs=pl.BlockSpec((blk, hc), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, hc), xr.dtype),
         interpret=interpret,
-    )(g3, xr_p, mask_f, keep, am, e)
+    )(*operands)
     return out[:n_dst], (xl, xr, att, keep_mask, csr, csr_t)
 
 
@@ -283,39 +365,55 @@ def _bwd_rule(config, res, G):
     )
     G_p = _pad_rows(G, n_pad)
     am, ms, e = _head_matrices(att, xr.dtype)
-    kern = functools.partial(_bwd_kernel, heads=heads, slope=slope)
-    dg3, dxr_p, datt_f, dkeep = pl.pallas_call(
+    common = _common_specs(blk, k, hc, heads, with_keep=keep is not None)
+    out_specs = [
+        pl.BlockSpec((blk, k, hc), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk, hc), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hc), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, k, hc), xr.dtype),
+        jax.ShapeDtypeStruct((n_pad, hc), xr.dtype),
+        jax.ShapeDtypeStruct((1, hc), _F32),
+    ]
+    if keep is None:
+        kern = functools.partial(_bwd_kernel_nokeep, heads=heads,
+                                 slope=slope)
+        operands = (g3, xr_p, mask_f, am, ms, G_p)
+    else:
+        kern = functools.partial(_bwd_kernel, heads=heads, slope=slope)
+        operands = (g3, xr_p, mask_f, keep, am, e, ms, G_p)
+        out_specs.append(pl.BlockSpec((blk, k, heads),
+                                      lambda b: (b, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_pad, k, heads), xr.dtype))
+    res = pl.pallas_call(
         kern,
         grid=(n_pad // blk,),
-        in_specs=_common_specs(blk, k, hc, heads) + [
+        in_specs=common + [
             pl.BlockSpec((hc, hc), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((blk, hc), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((blk, k, hc), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, hc), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hc), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, k, heads), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, k, hc), xr.dtype),
-            jax.ShapeDtypeStruct((n_pad, hc), xr.dtype),
-            jax.ShapeDtypeStruct((1, hc), _F32),
-            jax.ShapeDtypeStruct((n_pad, k, heads), xr.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(g3, xr_p, mask_f, keep, am, e, ms, G_p)
+    )(*operands)
+    if keep is None:
+        dg3, dxr_p, datt_f = res
+        dkeep = jnp.zeros_like(keep_mask)
+    else:
+        dg3, dxr_p, datt_f, dkeep = res
+        dkeep = dkeep[:n_dst].astype(keep_mask.dtype)
 
     dxr = dxr_p[:n_dst]
     ch = hc // heads
     datt = datt_f.reshape(heads, ch).astype(att.dtype)
-    dkeep = dkeep[:n_dst].astype(keep_mask.dtype)
     # dxl: transpose-space gather of dg (scatter-free, same as
     # ops/edge_stage.py): csr_t.idx holds flat (dst*K + slot) positions.
     dg_flat = dg3[:n_dst].reshape(n_dst * k, hc)

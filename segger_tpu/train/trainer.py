@@ -61,9 +61,15 @@ class TrainConfig:
     update_gene_embedding: bool = True
     use_positional_embeddings: bool = True
     normalize_embeddings: bool = True
-    compute_dtype: str = "float32"  # 'bfloat16' cuts edge-stage HBM
-                                    # traffic ~27% per train step;
-                                    # params/accumulation stay float32
+    compute_dtype: str = "bfloat16"  # default after the r2 accuracy
+                                     # soak (examples/xenium_scale.py
+                                     # --dtype {float32,bfloat16}: F1
+                                     # 0.9796 both, accuracy 0.9032
+                                     # both, 100k tx on v5e); cuts
+                                     # edge-stage HBM traffic ~2x.
+                                     # Params/optimizer state and
+                                     # softmax statistics stay float32;
+                                     # set 'float32' to opt out.
     max_epochs: int = 20
     edges_per_batch: int = 1_000_000
     training_fraction: float = 0.75

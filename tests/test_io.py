@@ -145,3 +145,20 @@ def test_save_standardizes(tmp_path, synth):
     assert len(pp2.transcripts) == len(pp.transcripts)
     _, polys = pp2.boundaries
     assert len(polys) == 60
+
+
+def test_merscope_streaming_matches_eager(tmp_path, synth):
+    """MERSCOPE chunked CSV standardization concatenates to the eager
+    table (incl. containment-derived nucleus compartments)."""
+    d = write_merscope_like(tmp_path / "mer_s", synth)
+    pp = get_preprocessor(d)
+    eager = pp.transcripts
+    chunks = list(pp.iter_transcripts(batch_rows=150))
+    assert len(chunks) > 1
+    streamed = pd.concat(chunks, ignore_index=True)
+    pd.testing.assert_frame_equal(streamed, eager)
+
+    out = tmp_path / "mer_std"
+    pp.save(out, streaming=True, batch_rows=150)
+    pp2 = get_preprocessor(out)
+    assert len(pp2.transcripts) == len(eager)

@@ -92,3 +92,32 @@ def test_bfd_is_deterministic(rng):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_harmonic_k_reference_semantics(rng):
+    """Faithful harmonic-k contract (reference sampler.py:85-183):
+    large items (> max/k) pack j-per-bin by harmonic class in arrival
+    order; small items (<= max/k) pack first-fit against remaining
+    capacity; invalid sizes raise unless skip_too_big."""
+    # class-2 items (max/3 < v <= max/2) pack exactly 2 per bin
+    vals = np.array([40.0, 45.0, 41.0, 42.0, 49.0])
+    bins = harmonic_k(vals, 100.0)
+    two = [sorted(b.tolist()) for b in bins if len(b) == 2]
+    assert [0, 1] in two and [2, 3] in two
+    assert any(b.tolist() == [4] for b in bins)
+
+    # small items first-fit: 10+10+... fills one bin up to capacity
+    small = np.full(25, 10.0)
+    bins = harmonic_k(small, 100.0, k=6)
+    sizes = sorted(len(b) for b in bins)
+    assert sizes == [5, 10, 10]
+
+    # validation
+    with pytest.raises(ValueError):
+        harmonic_k(np.array([5.0, 200.0]), 100.0)
+    bins = harmonic_k(np.array([5.0, 200.0, -1.0, 30.0]), 100.0,
+                      skip_too_big=True)
+    packed = np.concatenate(bins)
+    assert set(packed.tolist()) == {0, 3}
+    with pytest.raises(ValueError):
+        harmonic_k(np.array([5.0]), 100.0, k=1)

@@ -131,3 +131,28 @@ def test_vmap(rng):
         np.testing.assert_allclose(
             batched[i], one(xls[i], xrs[i]), atol=2e-5
         )
+
+
+def test_nokeep_sentinel_matches(rng):
+    """The (1,1,H) no-dropout sentinel takes the keep-free kernels and
+    matches the full path with keep == 1, forward and gradients."""
+    csr, csr_t, xl, xr, att, heads = _setup(rng)
+    ones = jnp.ones((*csr.idx.shape, heads), jnp.float32)
+    sent = postgather.no_dropout_keep(heads)
+    cot = jnp.asarray(rng.normal(size=(csr.idx.shape[0],
+                                       xl.shape[1])), jnp.float32)
+
+    def run(keep):
+        def f(xl, xr, att):
+            return (postgather.gatv2_edge_stage_pallas(
+                xl, xr, att, keep, csr, csr_t, (heads, 0.2, True)
+            ) * cot).sum()
+        val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(xl, xr, att)
+        return val, grads
+
+    v1, g1 = run(ones)
+    v2, g2 = run(sent)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5)
