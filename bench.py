@@ -85,6 +85,15 @@ def build_tile(n_tx=50_000, n_bd=2_500, n_genes=400, f_bd=128, seed=0):
         tx_sampler_sorted=tx_ss, tx_sampler_counts=tx_sc,
         bd_sampler_sorted=bd_ss, bd_sampler_counts=bd_sc,
     )
+    # degree bucketing: narrow kernel on low-in-degree rows (the
+    # production extract_tile path applies the same transform)
+    from segger_tpu.data.partition import (
+        apply_degree_bucketing, DEGREE_BUCKET_K_LO,
+    )
+
+    deg = np.asarray(tile.tt.mask).sum(1)
+    n_lo = int((deg <= DEGREE_BUCKET_K_LO).sum()) // 8 * 8
+    tile = apply_degree_bucketing(tile, n_lo=n_lo)
     return jax.tree.map(jnp.asarray, tile)
 
 

@@ -69,6 +69,22 @@ class TileGraph:
     tt_t: Optional[PaddedCSR] = None
     tb_t: Optional[PaddedCSR] = None
 
+    # -- degree bucketing of the tt edge stage -----------------------
+    # Valid tx rows are ordered low-in-degree-first at tile build
+    # (data/partition.py::apply_degree_bucketing): rows [0, tt_n_lo)
+    # have tt in-degree <= tt_k_lo, so the fused edge stage runs a
+    # narrow-K kernel on them and the full-K kernel only on the tail —
+    # with mean kNN in-degree ~k and padded width ~2-3k, this roughly
+    # halves the gather rows and kernel work of the hot loop (the
+    # reference gathers per-edge COO and pays no padding, at the price
+    # of scatter aggregation: src/segger/models/ist_encoder.py:109-134).
+    # tt_lo_t / tt_hi_t are the per-bucket transpose tables for the
+    # scatter-free backward.  tt_n_lo == 0 disables bucketing.
+    tt_lo_t: Optional[PaddedCSR] = None
+    tt_hi_t: Optional[PaddedCSR] = None
+    tt_n_lo: int = struct.field(pytree_node=False, default=0)
+    tt_k_lo: int = struct.field(pytree_node=False, default=0)
+
     # optional host-precomputed triplet-sampler block structure (cluster
     # labels and loss masks are static per tile; computing the argsort
     # on device costs a ~16 ms while-loop per 50k nodes):

@@ -179,6 +179,12 @@ def _round_up(x: int, m: int, minimum: int = 0) -> int:
     return max(minimum, -(-max(x, 1) // m) * m)
 
 
+# padded width of the narrow tt edge-stage kernel; rows with in-degree
+# <= K_LO are sorted first so the fused kernel skips the high-degree
+# tail's padding (see apply_degree_bucketing)
+DEGREE_BUCKET_K_LO = 8
+
+
 @dataclass(frozen=True)
 class BucketShape:
     n_tx: int
@@ -189,6 +195,13 @@ class BucketShape:
     e_sg: int
     k_tt_t: int = 8   # transpose widths (max out-degree per src node)
     k_tb_t: int = 4
+    # degree bucketing of tt (apply_degree_bucketing): first n_lo tx
+    # rows have in-degree <= k_lo.  n_lo merges by MIN (a smaller lo
+    # region is always valid), the widths by max.  n_lo == 0 disables.
+    n_lo: int = 0
+    k_lo: int = 0
+    k_lo_t: int = 4   # transpose width of the lo sub-table
+    k_hi_t: int = 4   # transpose width of the hi sub-table
 
 
 def _subselect_edges(src, dst, tx_map, bd_map=None):
@@ -218,30 +231,71 @@ def tile_bucket(
         graph.cand_src, graph.cand_dst, tx_map, bd_map
     )
     deg = lambda d, n: int(np.bincount(d, minlength=max(n, 1)).max()) if d.size else 1
+
+    # degree-bucketing stats for the tt edge stage: rows with in-degree
+    # <= K_LO run through the narrow kernel.  n_lo merges by MIN, so a
+    # per-tile count is always an upper bound on the final lo region;
+    # k_lo_t (transpose width of the lo sub-table) is computed against
+    # THIS tile's full lo set, which contains any smaller merged lo
+    # region, so it is safe under the min-merge.
+    k_lo = DEGREE_BUCKET_K_LO
+    n_tx_local = spec.tx_rows.size
+    if tt_d.size:
+        degs = np.bincount(tt_d, minlength=n_tx_local)
+        lo_rows = degs <= k_lo
+        n_lo = int(lo_rows.sum()) // 8 * 8
+        lo_edges = lo_rows[tt_d]
+        k_lo_t = _round_up(deg(tt_s[lo_edges], n_tx_local), 4)
+    else:
+        n_lo = n_tx_local // 8 * 8
+        k_lo_t = 4
+
     return BucketShape(
-        n_tx=_round_up(spec.tx_rows.size, round_tx),
+        n_tx=_round_up(n_tx_local, round_tx),
         n_bd=_round_up(spec.bd_rows.size, round_bd),
-        k_tt=_round_up(deg(tt_d, spec.tx_rows.size), 4),
+        k_tt=_round_up(deg(tt_d, n_tx_local), 4),
         k_tb=_round_up(deg(sg_d, spec.bd_rows.size), 8),
-        k_cand=_round_up(deg(ca_s, spec.tx_rows.size), 4),
+        k_cand=_round_up(deg(ca_s, n_tx_local), 4),
         e_sg=_round_up(sg_s.size, 256),
         # transpose widths = max out-degree per source node
-        k_tt_t=_round_up(deg(tt_s, spec.tx_rows.size), 4),
-        k_tb_t=_round_up(deg(sg_s, spec.tx_rows.size), 4),
+        k_tt_t=_round_up(deg(tt_s, n_tx_local), 4),
+        k_tb_t=_round_up(deg(sg_s, n_tx_local), 4),
+        n_lo=n_lo,
+        k_lo=k_lo,
+        k_lo_t=k_lo_t,
+        # the merged lo boundary can demote lo rows of this tile into
+        # the hi region, growing hi out-degrees — k_tt_t is the safe
+        # width for the hi sub-table transpose
+        k_hi_t=_round_up(deg(tt_s, n_tx_local), 4),
     )
 
 
 def merge_buckets(shapes: Sequence[BucketShape]) -> BucketShape:
-    """Least upper bound of bucket shapes (for stacking tiles)."""
+    """Least upper bound of bucket shapes (for stacking tiles).
+
+    The degree-bucket boundary ``n_lo`` merges by MIN (every tile must
+    have its first ``n_lo`` rows at in-degree <= k_lo); it is zeroed
+    (bucketing disabled) when the merged table is already narrow or the
+    lo region is too small to pay for the second kernel launch."""
+    k_tt = max(s.k_tt for s in shapes)
+    n_tx = max(s.n_tx for s in shapes)
+    n_lo = min(s.n_lo for s in shapes)
+    k_lo = max(s.k_lo for s in shapes)
+    if k_tt <= k_lo or n_lo < n_tx // 4:
+        n_lo = k_lo = 0
     return BucketShape(
-        n_tx=max(s.n_tx for s in shapes),
+        n_tx=n_tx,
         n_bd=max(s.n_bd for s in shapes),
-        k_tt=max(s.k_tt for s in shapes),
+        k_tt=k_tt,
         k_tb=max(s.k_tb for s in shapes),
         k_cand=max(s.k_cand for s in shapes),
         e_sg=max(s.e_sg for s in shapes),
         k_tt_t=max(s.k_tt_t for s in shapes),
         k_tb_t=max(s.k_tb_t for s in shapes),
+        n_lo=n_lo,
+        k_lo=k_lo,
+        k_lo_t=max(s.k_lo_t for s in shapes),
+        k_hi_t=max(s.k_hi_t for s in shapes),
     )
 
 
@@ -329,7 +383,7 @@ def extract_tile(
 
     # per-tile positional offset is kept: normalization is tile-local in
     # the model (positional.py)
-    return TileGraph(
+    tile = TileGraph(
         tx_gene=padn(graph.tx_gene[spec.tx_rows], bucket.n_tx),
         tx_pos=padn(graph.tx_pos[spec.tx_rows], bucket.n_tx),
         tx_cluster=padn(graph.tx_cluster[spec.tx_rows], bucket.n_tx, -1),
@@ -358,6 +412,108 @@ def extract_tile(
         tx_sampler_counts=tx_sc,
         bd_sampler_sorted=bd_ss,
         bd_sampler_counts=bd_sc,
+    )
+    if bucket.n_lo > 0 and bucket.k_lo > 0:
+        tile = apply_degree_bucketing(
+            tile, n_lo=bucket.n_lo, k_lo=bucket.k_lo,
+            k_lo_t=bucket.k_lo_t, k_hi_t=bucket.k_hi_t,
+        )
+    return tile
+
+
+def apply_degree_bucketing(
+    tile: TileGraph, n_lo: int, k_lo: int = DEGREE_BUCKET_K_LO,
+    k_lo_t: Optional[int] = None, k_hi_t: Optional[int] = None,
+) -> TileGraph:
+    """Reorder a NumPy tile's tx rows so low-tt-in-degree rows lead.
+
+    The fused edge stage (models/gatv2.py) then runs a narrow (k_lo)
+    kernel on rows [0, n_lo) and the full-width kernel only on the tail:
+    with kNN graphs (mean in-degree ~k, padded width 2-3k) this roughly
+    halves the gather rows and kernel work of the training hot loop.
+    The reference's COO+scatter formulation pays no padding but
+    serializes on atomics instead (src/segger/models/ist_encoder.py:
+    109-134); bucketing is the padded-CSR answer to the same waste.
+
+    Stable ordering: valid lo rows keep their strip-major relative
+    order, then valid hi rows, padding last — the packing invariant
+    (valid rows leading) is preserved.  ``n_lo`` may be smaller than
+    the tile's lo count (bucket-level boundaries merge by MIN); the
+    surplus lo rows are processed by the wide kernel, which is always
+    correct.  Builds the per-sub-table transpose tables for the
+    scatter-free backward and rebuilds every tx-indexed field.
+    """
+    idx = np.asarray(tile.tt.idx)
+    mask = np.asarray(tile.tt.mask)
+    n_tx, k_tt = idx.shape
+    valid = np.asarray(tile.tx_valid)
+    deg = mask.sum(1)
+    is_hi = (deg > k_lo) | ~valid
+    n_lo_avail = int((~is_hi).sum())
+    if n_lo <= 0 or k_lo <= 0 or k_tt <= k_lo:
+        return tile
+    if n_lo > n_lo_avail:
+        raise ValueError(
+            f"degree-bucket boundary n_lo={n_lo} exceeds the tile's "
+            f"{n_lo_avail} rows with in-degree <= {k_lo}"
+        )
+    perm = np.argsort(is_hi, kind="stable")
+    inv = np.empty(n_tx, np.int64)
+    inv[perm] = np.arange(n_tx)
+    inv32 = inv.astype(np.int32)
+
+    def remap(a):
+        return inv32[np.asarray(a)]
+
+    tt = PaddedCSR(idx=remap(idx)[perm], mask=mask[perm])
+    tt_lo = PaddedCSR(idx=tt.idx[:n_lo, :k_lo], mask=tt.mask[:n_lo, :k_lo])
+    tt_hi = PaddedCSR(idx=tt.idx[n_lo:], mask=tt.mask[n_lo:])
+    # the lo region only holds rows with deg <= k_lo, and
+    # coo_to_padded_csr packs edges into the leading slots, so the
+    # column slice drops no edges
+    assert np.asarray(tile.tt.mask)[perm][:n_lo, k_lo:].sum() == 0
+
+    cand = PaddedCSR(
+        idx=np.asarray(tile.cand.idx)[perm],
+        mask=np.asarray(tile.cand.mask)[perm],
+    )
+    tb = PaddedCSR(idx=remap(tile.tb.idx), mask=np.asarray(tile.tb.mask))
+
+    kw = {}
+    if tile.tt_t is not None:
+        kw["tt_t"] = transpose_csr(tt, n_src=n_tx, k=tile.tt_t.idx.shape[1])
+        kw["tt_lo_t"] = transpose_csr(tt_lo, n_src=n_tx, k=k_lo_t)
+        kw["tt_hi_t"] = transpose_csr(tt_hi, n_src=n_tx, k=k_hi_t)
+    if tile.tb_t is not None:
+        # tb rows are bd (unpermuted) and tb slot layout is unchanged,
+        # so the flat positions stand; only the src-keyed row order moves
+        kw["tb_t"] = PaddedCSR(
+            idx=np.asarray(tile.tb_t.idx)[perm],
+            mask=np.asarray(tile.tb_t.mask)[perm],
+        )
+    if tile.tx_sampler_sorted is not None:
+        # remapping node ids preserves the sorted-by-cluster grouping
+        kw["tx_sampler_sorted"] = remap(tile.tx_sampler_sorted)
+    if tile.bt is not None:
+        kw["bt"] = PaddedCSR(
+            idx=np.asarray(tile.bt.idx)[perm],
+            mask=np.asarray(tile.bt.mask)[perm],
+        )
+
+    return tile.replace(
+        tx_gene=np.asarray(tile.tx_gene)[perm],
+        tx_pos=np.asarray(tile.tx_pos)[perm],
+        tx_cluster=np.asarray(tile.tx_cluster)[perm],
+        tx_index=np.asarray(tile.tx_index)[perm],
+        tx_valid=valid[perm],
+        tx_interior=np.asarray(tile.tx_interior)[perm],
+        tt=tt,
+        cand=cand,
+        tb=tb,
+        sg_src=remap(tile.sg_src),
+        tt_n_lo=n_lo,
+        tt_k_lo=k_lo,
+        **kw,
     )
 
 
@@ -414,6 +570,22 @@ def empty_tile(
         tx_sampler_counts=z(c_tx, np.int32),
         bd_sampler_sorted=np.arange(bucket.n_bd, dtype=np.int32),
         bd_sampler_counts=z(c_bd, np.int32),
+        **(
+            dict(
+                tt_lo_t=PaddedCSR(
+                    idx=z((bucket.n_tx, bucket.k_lo_t), np.int32),
+                    mask=z((bucket.n_tx, bucket.k_lo_t), bool),
+                ),
+                tt_hi_t=PaddedCSR(
+                    idx=z((bucket.n_tx, bucket.k_hi_t), np.int32),
+                    mask=z((bucket.n_tx, bucket.k_hi_t), bool),
+                ),
+                tt_n_lo=bucket.n_lo,
+                tt_k_lo=bucket.k_lo,
+            )
+            if bucket.n_lo > 0
+            else {}
+        ),
     )
 
 

@@ -123,10 +123,21 @@ class HeteroGATLayer(nn.Module):
         # transpose tables only apply when sources == local destinations
         # (halo-extended sources use the forward-only path)
         same_src = x_tx_src is x_tx
+        # degree-bucketed fused edge stage (apply_degree_bucketing):
+        # narrow kernel on the low-in-degree leading rows
+        split = None
+        if (
+            same_src
+            and tile.tt_n_lo > 0
+            and tile.tt_lo_t is not None
+            and tile.tt_hi_t is not None
+        ):
+            split = (tile.tt_n_lo, tile.tt_k_lo, tile.tt_lo_t, tile.tt_hi_t)
         out_tx = conv_tt(
             x_tx_src, x_tx, tile.tt, deterministic,
             csr_t=tile.tt_t if same_src else None,
             capture_attention=capture_attention,
+            split=split,
         )
         out_bd = conv_tb(
             x_tx_src, x_bd, tile.tb, deterministic,

@@ -65,6 +65,7 @@ class GATv2Conv(nn.Module):
         deterministic: bool = True,
         csr_t: PaddedCSR | None = None,
         capture_attention: bool = False,
+        split: tuple | None = None,
     ) -> jnp.ndarray:
         """``csr_t``: optional transpose table enabling the scatter-free
         gather backward (required for fast training on TPU; see
@@ -72,7 +73,15 @@ class GATv2Conv(nn.Module):
         the unfused path for this call so the attention coefficients are
         sown under ``intermediates`` (the fused kernels never
         materialize them; reference analogue: the forward-hook capture,
-        ist_encoder.py:137-158)."""
+        ist_encoder.py:137-158).
+
+        ``split``: optional degree-bucketing of the fused TPU path —
+        ``(n_lo, k_lo, csr_lo_t, csr_hi_t)`` with ``n_lo``/``k_lo``
+        static ints.  Destination rows [0, n_lo) must have in-degree
+        <= k_lo (data/partition.py::apply_degree_bucketing); the edge
+        stage then runs a narrow kernel on them and the full-width
+        kernel on the tail, skipping most padding traffic of the
+        gather.  Ignored off the Pallas path."""
         h, c = self.heads, self.out_channels
         glorot = nn.initializers.glorot_uniform()
         lin_l = nn.Dense(
@@ -115,6 +124,31 @@ class GATv2Conv(nn.Module):
 
             if backend == "pallas":
                 from ..ops.pallas import postgather
+
+                if split is not None and postgather.supported(csr, h * c, h):
+                    n_lo, k_lo, csr_lo_t, csr_hi_t = split
+                    csr_lo = PaddedCSR(
+                        idx=csr.idx[:n_lo, :k_lo],
+                        mask=csr.mask[:n_lo, :k_lo],
+                    )
+                    csr_hi = PaddedCSR(
+                        idx=csr.idx[n_lo:], mask=csr.mask[n_lo:]
+                    )
+                    if dropout_on:
+                        keep_lo = keep[:n_lo, :k_lo]
+                        keep_hi = keep[n_lo:]
+                    else:
+                        keep_lo = keep_hi = keep  # (1,1,H) sentinel
+                    cfg = (h, self.negative_slope, False)
+                    out_lo = postgather.gatv2_edge_stage_pallas(
+                        xl, xr[:n_lo], att[0], keep_lo,
+                        csr_lo, csr_lo_t, cfg,
+                    )
+                    out_hi = postgather.gatv2_edge_stage_pallas(
+                        xl, xr[n_lo:], att[0], keep_hi,
+                        csr_hi, csr_hi_t, cfg,
+                    )
+                    return jnp.concatenate([out_lo, out_hi], axis=0) + bias
 
                 if postgather.supported(csr, h * c, h):
                     out = postgather.gatv2_edge_stage_pallas(
