@@ -85,6 +85,13 @@ class TileGraph:
     tt_n_lo: int = struct.field(pytree_node=False, default=0)
     tt_k_lo: int = struct.field(pytree_node=False, default=0)
 
+    # True for halo-sharded tiles (parallel/halo.py): the CSR source
+    # indices and the tt_t/tb_t transpose tables address the *extended*
+    # node space [local | halo-from-left | halo-from-right] delivered by
+    # the per-layer exchange, so the fast transpose-space backward stays
+    # available during distributed training.
+    transposes_extended: bool = struct.field(pytree_node=False, default=False)
+
     # optional host-precomputed triplet-sampler block structure (cluster
     # labels and loss masks are static per tile; computing the argsort
     # on device costs a ~16 ms while-loop per 50k nodes):

@@ -120,14 +120,17 @@ class HeteroGATLayer(nn.Module):
             self.out_channels, self.heads, dropout=self.dropout,
             dtype=self.dtype, name="tb"
         )
-        # transpose tables only apply when sources == local destinations
-        # (halo-extended sources use the forward-only path)
+        # transpose tables apply when sources == local destinations, or
+        # when the tile's tables are built for the extended halo space
+        # (transposes_extended: distributed training keeps the fast
+        # transpose-space backward)
         same_src = x_tx_src is x_tx
+        use_t = same_src or tile.transposes_extended
         # degree-bucketed fused edge stage (apply_degree_bucketing):
         # narrow kernel on the low-in-degree leading rows
         split = None
         if (
-            same_src
+            use_t
             and tile.tt_n_lo > 0
             and tile.tt_lo_t is not None
             and tile.tt_hi_t is not None
@@ -135,13 +138,13 @@ class HeteroGATLayer(nn.Module):
             split = (tile.tt_n_lo, tile.tt_k_lo, tile.tt_lo_t, tile.tt_hi_t)
         out_tx = conv_tt(
             x_tx_src, x_tx, tile.tt, deterministic,
-            csr_t=tile.tt_t if same_src else None,
+            csr_t=tile.tt_t if use_t else None,
             capture_attention=capture_attention,
             split=split,
         )
         out_bd = conv_tb(
             x_tx_src, x_bd, tile.tb, deterministic,
-            csr_t=tile.tb_t if same_src else None,
+            csr_t=tile.tb_t if use_t else None,
             capture_attention=capture_attention,
         )
         if self.use_bd_to_tx and tile.bt is not None:

@@ -66,6 +66,7 @@ def build_sharded_graph(
     n_shards: int,
     round_nodes: int = 128,
     round_halo: int = 32,
+    for_training: bool = False,
 ) -> Tuple[TileGraph, HaloSpec, np.ndarray]:
     """Partition the whole-slide graph into ``n_shards`` x-strips.
 
@@ -73,6 +74,12 @@ def build_sharded_graph(
     dropped-edge counts per edge type).  Edges spanning non-adjacent
     strips are dropped (counted); with equal-count strips and local
     spatial graphs this is empty in practice.
+
+    ``for_training`` additionally equips each shard with the
+    extended-space transpose tables (scatter-free backward through the
+    halo exchange) and the host-precomputed triplet-sampler block
+    structure, enabling whole-slide margin-free training
+    (:func:`make_sharded_train_step`).
     """
     D = n_shards
     tx_shard, _ = _strip_assign(graph.tx_pos[:, 0], D)
@@ -262,6 +269,31 @@ def build_sharded_graph(
         pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
         return np.pad(a, pad, constant_values=fill)
 
+    # training extras: extended-space transpose tables (gradients route
+    # back through the same gather duality as local tiles, then through
+    # the exchange's ppermute VJP to the owning shard) + sampler blocks
+    tt_t_tables = tb_t_tables = None
+    if for_training:
+        from ..ops.padded_csr import transpose_csr
+
+        n_src_ext = P_ + 2 * H
+
+        def ext_transposes(tables):
+            width = 4
+            for t in tables:
+                srcs = np.asarray(t.idx)[np.asarray(t.mask)]
+                if srcs.size:
+                    width = max(width, _round_up(
+                        int(np.bincount(srcs, minlength=n_src_ext).max()),
+                        4,
+                    ))
+            return [
+                transpose_csr(t, n_src=n_src_ext, k=width) for t in tables
+            ]
+
+        tt_t_tables = ext_transposes(tt_tables)
+        tb_t_tables = ext_transposes(tb_tables)
+
     tiles = []
     bd_index_ext = np.full((D, Q_ + 2 * Hq), -1, np.int64)
     for d in range(D):
@@ -278,6 +310,30 @@ def build_sharded_graph(
 
         pos_tx = (graph.tx_pos[txr] - lo) / scale
         pos_bd = (graph.bd_pos[bdr] - lo) / scale
+
+        extra = {}
+        if for_training:
+            from ..data.partition import _sampler_structure
+
+            tx_ss, tx_sc = _sampler_structure(
+                padn(graph.tx_cluster[txr], P_, -1),
+                np.ones(ntx, bool), ntx, P_,
+                graph.tx_similarity.shape[0],
+            )
+            bd_ss, bd_sc = _sampler_structure(
+                padn(graph.bd_cluster[bdr], Q_, -1),
+                np.ones(nbd, bool), nbd, Q_,
+                graph.bd_similarity.shape[0],
+            )
+            extra = dict(
+                tt_t=tt_t_tables[d],
+                tb_t=tb_t_tables[d],
+                transposes_extended=True,
+                tx_sampler_sorted=tx_ss,
+                tx_sampler_counts=tx_sc,
+                bd_sampler_sorted=bd_ss,
+                bd_sampler_counts=bd_sc,
+            )
 
         tiles.append(
             TileGraph(
@@ -303,6 +359,7 @@ def build_sharded_graph(
                 sg_src=padn(sgs[:n_sg].astype(np.int32), E_sg),
                 sg_dst=padn(sgd[:n_sg].astype(np.int32), E_sg),
                 sg_mask=padn(np.ones(n_sg, bool), E_sg),
+                **extra,
             )
         )
         # static extended bd_index for prediction
@@ -421,6 +478,151 @@ def make_sharded_predict(
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_sharded_train_step(
+    model,
+    optimizer,
+    mesh: Mesh,
+    tx_similarity,
+    bd_similarity,
+    axis: str = "data",
+    tx_margin: float = 0.3,
+    sg_margin: float = 0.4,
+    sg_loss_type: str = "triplet",
+):
+    """Whole-slide margin-free training step over the device mesh.
+
+    The reference trains on margin tiles and drops cross-tile edges
+    (src/segger/data/tile_dataset.py:50-60); here the slide itself is
+    strip-sharded, every layer refreshes halo features via ``ppermute``
+    (exact receptive fields at any depth), and gradients flow back
+    through the exchange: ``ppermute``'s VJP is the reverse permutation
+    and the halo-gather's VJP scatter-adds cotangents into the owning
+    shard's rows — JAX derives both, no hand-written comms backward.
+
+    Loss semantics: every node/edge is owned by exactly one shard, so
+    per-shard (sum, count) statistics ``psum`` into exact whole-slide
+    masked means — identical to single-device full-graph training.  The
+    only sampling-semantics difference vs a single device: triplet /
+    modular-shift negatives are drawn shard-locally (the reference
+    draws within a tile, lightning_model.py:177-180, so shard-local
+    negatives are the faithful analogue).
+
+    Returns ``step(params, opt_state, stacked, halo, key, weights)
+    -> (params, opt_state, loss, (l_tx, l_bd, l_sg))``; params and
+    optimizer state stay replicated (gradients are ``psum``-reduced
+    before the update, so all shards apply the same step).
+    """
+    n_shards = mesh.shape[axis]
+    import optax
+    from ..models import losses as L
+
+    def shard_stats(params, tile: TileGraph, halo: HaloSpec, key):
+        k_drop, k_tx, k_bd, k_sg = jax.random.split(key, 4)
+
+        def exchange(x_tx, x_bd):
+            return (
+                _exchange_1d(
+                    x_tx, halo.tx_send_left, halo.tx_send_left_mask,
+                    halo.tx_send_right, halo.tx_send_right_mask,
+                    axis, n_shards,
+                ),
+                _exchange_1d(
+                    x_bd, halo.bd_send_left, halo.bd_send_left_mask,
+                    halo.bd_send_right, halo.bd_send_right_mask,
+                    axis, n_shards,
+                ),
+            )
+
+        emb = model.apply(
+            params, tile, deterministic=False, rngs={"dropout": k_drop},
+            exchange=exchange, pos_prenormalized=True,
+        )
+        tx_mask = tile.tx_valid & (tile.tx_cluster >= 0)
+        bd_mask = tile.bd_valid & (tile.bd_cluster >= 0)
+        tx_sort = (
+            (tile.tx_sampler_sorted, tile.tx_sampler_counts)
+            if tile.tx_sampler_sorted is not None else None
+        )
+        bd_sort = (
+            (tile.bd_sampler_sorted, tile.bd_sampler_counts)
+            if tile.bd_sampler_sorted is not None else None
+        )
+        s_tx, c_tx = L.triplet_loss(
+            k_tx, emb["tx"], tile.tx_cluster, tx_mask, tx_similarity,
+            margin=tx_margin, sort_structure=tx_sort,
+        )
+        s_bd, c_bd = L.metric_loss(
+            k_bd, emb["bd"], tile.bd_cluster, bd_mask, bd_similarity,
+            sort_structure=bd_sort,
+        )
+        # supervision srcs live in the extended space: one final tx
+        # exchange exposes neighbor-shard embeddings to the link loss
+        x_tx_ext = _exchange_1d(
+            emb["tx"], halo.tx_send_left, halo.tx_send_left_mask,
+            halo.tx_send_right, halo.tx_send_right_mask, axis, n_shards,
+        )
+        s_sg, c_sg = L.segmentation_loss(
+            k_sg, x_tx_ext, emb["bd"],
+            tile.sg_src, tile.sg_dst, tile.sg_mask,
+            tile.bd_valid.sum(),
+            loss_type=sg_loss_type, margin=sg_margin,
+        )
+        return jnp.stack([
+            s_tx, c_tx.astype(jnp.float32),
+            s_bd, c_bd.astype(jnp.float32),
+            s_sg, c_sg.astype(jnp.float32),
+        ])
+
+    def device_fn(params, opt_state, tile, halo, key, weights):
+        tile = jax.tree.map(lambda x: x[0], tile)
+        halo = jax.tree.map(lambda x: x[0], halo)
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+
+        def loss_fn(p):
+            stats = shard_stats(p, tile, halo, key)
+            # global counts are parameter-independent; stop_gradient
+            # keeps the forward psum out of the backward so each shard
+            # differentiates only its LOCAL numerator — a psum-in-the-
+            # forward loss would seed every replica's backward with the
+            # full sum and over-count gradients by the shard count
+            # (psum's transpose is psum)
+            tot = jax.lax.stop_gradient(jax.lax.psum(stats, axis))
+            c_tx = jnp.maximum(tot[1], 1.0)
+            c_bd = jnp.maximum(tot[3], 1.0)
+            c_sg = jnp.maximum(tot[5], 1.0)
+            local = (
+                weights[0] * stats[0] / c_tx
+                + weights[1] * stats[2] / c_bd
+                + weights[2] * stats[4] / c_sg
+            )
+            aux = (tot[0] / c_tx, tot[2] / c_bd, tot[4] / c_sg)
+            return local, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        loss = (
+            weights[0] * aux[0] + weights[1] * aux[1] + weights[2] * aux[2]
+        )
+        # each shard's grad holds only its local contribution; the
+        # reduction completes the replicated whole-slide gradient
+        grads = jax.lax.psum(grads, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    spec = P(axis)
+    rep = P()
+    fn = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(rep, rep, spec, spec, rep, rep),
+        out_specs=(rep, rep, rep, rep),
         check_vma=False,
     )
     return jax.jit(fn)

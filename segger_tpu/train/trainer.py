@@ -570,3 +570,86 @@ class SeggerTrainer:
 
             mesh = make_mesh()
         return sharded_predict(self.model, self.params, self.graph, mesh)
+
+    # ------------------------------------------------------------------
+    def fit_whole_slide(
+        self, mesh=None, max_epochs: Optional[int] = None
+    ) -> List[Dict]:
+        """Margin-free whole-slide training over the device mesh.
+
+        The tile-DP :meth:`fit` reproduces the reference's semantics
+        (margin tiles, cross-tile edges dropped, tile_dataset.py:50-60);
+        this path strip-shards the slide itself and trains with exact
+        receptive fields — per-layer halo exchange in the forward,
+        gradients returned through the ``ppermute`` VJP, loss statistics
+        ``psum``-reduced into exact whole-slide masked means
+        (``parallel.halo.make_sharded_train_step``).  One optimizer step
+        per epoch (the whole slide is the batch)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.halo import (
+            build_sharded_graph, make_sharded_train_step,
+        )
+
+        cfg = self.cfg
+        mesh = mesh or self.mesh
+        if mesh is None:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        max_epochs = max_epochs or cfg.max_epochs
+
+        n = mesh.shape["data"]
+        stacked, halo, dropped = build_sharded_graph(
+            self.graph, n, for_training=True
+        )
+        if dropped.any():
+            logger.warning(
+                "whole-slide training dropped %s non-adjacent-shard "
+                "edges (tt, sg, cand)", dropped.tolist(),
+            )
+        if self.params is None:
+            template = jax.tree.map(lambda x: np.asarray(x)[0], stacked)
+            self.init(template)
+        sharding = NamedSharding(mesh, P("data"))
+        stacked = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), stacked
+        )
+        halo = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), halo
+        )
+        step = make_sharded_train_step(
+            self.model, self.tx, mesh,
+            self.tx_similarity, self.bd_similarity,
+            tx_margin=cfg.tx_margin, sg_margin=cfg.sg_margin,
+            sg_loss_type=cfg.sg_loss_type,
+        )
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        w_start = np.array(
+            [cfg.tx_weight_start, cfg.bd_weight_start, cfg.sg_weight_start]
+        )
+        w_end = np.array(
+            [cfg.tx_weight_end, cfg.bd_weight_end, cfg.sg_weight_end]
+        )
+        history = []
+        for epoch in range(max_epochs):
+            weights = jnp.asarray(
+                L.cosine_weight_schedule(epoch, max_epochs, w_start, w_end)
+            )
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, loss, aux = step(
+                self.params, self.opt_state, stacked, halo, sub, weights
+            )
+            rec = {
+                "epoch": epoch,
+                "train:loss": float(loss),
+                "train:loss_tx": float(aux[0]),
+                "train:loss_bd": float(aux[1]),
+                "train:loss_sg": float(aux[2]),
+            }
+            history.append(rec)
+            logger.info(
+                "whole-slide epoch %d: loss=%.4f", epoch, rec["train:loss"]
+            )
+        self.history = history
+        return history
