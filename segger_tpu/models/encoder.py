@@ -212,7 +212,13 @@ class ISTEncoder(nn.Module):
                 axis=-1,
             )
 
-        x_tx, x_bd = nn.gelu(x_tx), nn.gelu(x_bd)
+        # exact (erf) GELU: torch F.gelu's default, used by the reference
+        # (ist_encoder.py:321,327); flax's default is the tanh approximation
+        x_tx, x_bd = nn.gelu(x_tx, approximate=False), nn.gelu(
+            x_bd, approximate=False
+        )
+        self.sow("intermediates", "embed_tx", x_tx)
+        self.sow("intermediates", "embed_bd", x_bd)
 
         # Conv stack: in -> hidden x heads -> ... -> out x heads
         # (ist_encoder.py:267-280)
@@ -238,7 +244,13 @@ class ISTEncoder(nn.Module):
                 x_tx_src=x_tx_src, x_bd_src=x_bd_src,
                 capture_attention=capture_attention,
             )
-            x_tx, x_bd = nn.gelu(x_tx), nn.gelu(x_bd)
+            # per-layer post-conv (pre-GELU) activations for parity
+            # checks / introspection (mutable=['intermediates'])
+            self.sow("intermediates", f"layer{i}_tx", x_tx)
+            self.sow("intermediates", f"layer{i}_bd", x_bd)
+            x_tx, x_bd = nn.gelu(x_tx, approximate=False), nn.gelu(
+                x_bd, approximate=False
+            )
 
         # Final per-type projection (HeteroDictLinear, ist_encoder.py:282-286)
         fan = x_tx.shape[-1]

@@ -1,0 +1,269 @@
+"""Vendored torch_geometric message-passing semantics, for golden-fixture
+generation (VERDICT round-1 item 5).
+
+PyG is not installed in this environment, so the exact semantics of the
+reference model's building blocks are re-derived here in float64 torch,
+**faithfully to the torch_geometric sources** rather than restated from
+the papers.  Every function cites the PyG source it reproduces and the
+reference call site (``/root/reference/src/segger/models/ist_encoder.py``).
+The details a paper-level restatement can silently get wrong — and that
+this module pins down explicitly — are:
+
+1. **Edge softmax** (``torch_geometric/utils/_softmax.py::softmax``):
+   per-destination max is subtracted (scatter-max), then
+   ``exp() / (scatter_sum + 1e-16)``.  The ``+ 1e-16`` is in the
+   denominator of every coefficient.
+2. **Isolated destinations**: a destination with no in-edges receives no
+   messages; the aggregation buffer stays exactly zero and the output row
+   is the conv's ``bias`` alone (``GATv2Conv.forward``: ``out = out +
+   self.bias`` after ``aggregate`` zero-fill).  No self-loops are added:
+   the reference constructs every conv with ``add_self_loops=False``
+   (SkipGAT, ist_encoder.py:110-131; ``add_self_loops_tx`` defaults to
+   False and ISTEncoder never overrides it).
+3. **Message content** (``GATv2Conv.message``): the value aggregated is
+   ``x_j * alpha`` where ``x_j = lin_l(x_src)[src]`` — the *source-side*
+   projection, not the raw feature and not the dst-side projection.
+4. **Attention-logit order** (``GATv2Conv.message``): sum first
+   (``x = x_i + x_j``), LeakyReLU(0.2) second, inner product with
+   ``att`` third.  (GATv1 applies the nonlinearity after the inner
+   product; GATv2 before.)
+5. **Dropout placement** (``GATv2Conv.message``): inverted dropout on the
+   *softmaxed* coefficients, per (edge, head):
+   ``alpha = F.dropout(alpha, p, training)``.  Eval mode = identity.
+6. **HeteroConv aggregation** (``torch_geometric/nn/conv/hetero_conv.py::
+   HeteroConv.forward`` with ``aggr='sum'``): convs run only for edge
+   types present in ``edge_index_dict``; outputs are grouped by
+   *destination* node type and summed.  The reference registers a
+   ('bd','contains','tx') conv that never receives edges at runtime, so
+   tx aggregates from the tx->tx conv only and bd from the tx->bd conv
+   only (SURVEY Appendix quirk).
+7. **Bias everywhere**: ``lin_l`` and ``lin_r`` each carry a bias
+   (``Linear(..., bias=bias)`` with the default ``bias=True``), plus the
+   conv-level ``bias`` of shape ``(heads * out_channels,)`` added after
+   head concatenation (``concat=True`` default).
+8. **GELU**: ``torch.nn.functional.gelu`` default is the exact erf form
+   (``approximate='none'``), not the tanh approximation
+   (ist_encoder.py:321,327).
+9. **Final normalization** (``F.normalize(dim=-1)``): divide by
+   ``clamp(norm, min=1e-12)``; exact-zero rows map to zero.
+10. **Positional embedding** (Positional2dEmbedder, ist_encoder.py:33-79):
+    per-batch-graph min/max normalization with ``+ 1e-8`` in the
+    denominator, sinusoidal features with ``max_period=10000`` in
+    **cos-first** ordering, then a Linear-SiLU-Linear MLP applied per
+    coordinate axis and flattened (x-axis features before y-axis).
+
+Weight layout convention: parameters arrive as the flax tree produced by
+``segger_tpu.models.ISTEncoder.init`` (kernels are ``(in, out)``, applied
+as ``x @ W + b``).  torch's ``Linear`` stores ``(out, in)``; this module
+keeps the flax layout — a pure storage convention with no numeric
+difference.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import torch
+
+DT = torch.float64
+
+
+def t(a) -> torch.Tensor:
+    return torch.tensor(np.asarray(a), dtype=DT)
+
+
+def scatter_sum(src: torch.Tensor, index: torch.Tensor, n: int):
+    out = torch.zeros((n,) + src.shape[1:], dtype=src.dtype)
+    out.index_add_(0, index, src)
+    return out
+
+
+def pyg_softmax(src: torch.Tensor, index: torch.Tensor, num_nodes: int):
+    """torch_geometric/utils/_softmax.py::softmax (index path, dim=0).
+
+    scatter-max per group, subtract, exp, divide by scatter-sum + 1e-16.
+    Groups with no members never index into the result, so their max/sum
+    fill values are irrelevant.
+    """
+    src_max = torch.full(
+        (num_nodes,) + src.shape[1:], -float("inf"), dtype=src.dtype
+    )
+    src_max = src_max.index_reduce_(
+        0, index, src, reduce="amax", include_self=True
+    )
+    out = (src - src_max.index_select(0, index)).exp()
+    out_sum = scatter_sum(out, index, num_nodes) + 1e-16
+    return out / out_sum.index_select(0, index)
+
+
+def pyg_gatv2_conv(
+    x_src: torch.Tensor,
+    x_dst: torch.Tensor,
+    edge_src: np.ndarray,
+    edge_dst: np.ndarray,
+    params: dict,
+    heads: int,
+    out_channels: int,
+    negative_slope: float = 0.2,
+    return_alpha: bool = False,
+):
+    """torch_geometric/nn/conv/gatv2_conv.py::GATv2Conv.forward +
+    .message, eval mode (dropout identity), share_weights=False,
+    concat=True, add_self_loops=False, edge_dim=None.
+
+    Reference call site: SkipGAT, ist_encoder.py:109-134.
+    """
+    H, C = heads, out_channels
+    src = torch.tensor(np.asarray(edge_src), dtype=torch.long)
+    dst = torch.tensor(np.asarray(edge_dst), dtype=torch.long)
+
+    # x_l = self.lin_l(x_src).view(-1, H, C); x_r likewise (detail 7:
+    # both Linears carry bias)
+    x_l = (x_src @ t(params["lin_l"]["kernel"])
+           + t(params["lin_l"]["bias"])).view(-1, H, C)
+    x_r = (x_dst @ t(params["lin_r"]["kernel"])
+           + t(params["lin_r"]["bias"])).view(-1, H, C)
+
+    # message(): x = x_i + x_j; leaky_relu; alpha = (x * att).sum(-1)
+    # (detail 4: nonlinearity BEFORE the att inner product)
+    x = x_r[dst] + x_l[src]  # (E, H, C)
+    x = torch.nn.functional.leaky_relu(x, negative_slope)
+    alpha = (x * t(params["att"][0])).sum(-1)  # (E, H)
+
+    # softmax over each destination's in-edges (detail 1)
+    alpha = pyg_softmax(alpha, dst, x_dst.shape[0])
+    # F.dropout(alpha, p, training=False) is the identity (detail 5)
+
+    # aggregate: scatter-sum of x_j * alpha (details 2 + 3)
+    msg = x_l[src] * alpha.unsqueeze(-1)  # (E, H, C)
+    out = scatter_sum(msg, dst, x_dst.shape[0])
+
+    # update(): concat heads, + conv bias (detail 7)
+    out = out.reshape(-1, H * C) + t(params["bias"])
+    if return_alpha:
+        return out, alpha
+    return out
+
+
+def pyg_hetero_conv(x_dict, edge_index_dict, convs_params, heads, out_ch):
+    """torch_geometric/nn/conv/hetero_conv.py::HeteroConv.forward with
+    aggr='sum' (detail 6).
+
+    ``edge_index_dict``: {(src_t, rel, dst_t): (src_idx, dst_idx)}.
+    ``convs_params``: {(src_t, rel, dst_t): flax GATv2 param subtree}.
+    Only edge types present in ``edge_index_dict`` run; per-destination-
+    type outputs are summed in dict iteration order (sum is commutative
+    in exact arithmetic; f64 makes the order immaterial at f32
+    comparison tolerance).
+    """
+    grouped: dict[str, list[torch.Tensor]] = {}
+    for etype, (e_src, e_dst) in edge_index_dict.items():
+        if etype not in convs_params:
+            continue
+        src_t, _, dst_t = etype
+        out = pyg_gatv2_conv(
+            x_dict[src_t], x_dict[dst_t], e_src, e_dst,
+            convs_params[etype], heads, out_ch,
+        )
+        grouped.setdefault(dst_t, []).append(out)
+    out_dict = {}
+    for k, outs in grouped.items():
+        acc = outs[0]
+        for o in outs[1:]:
+            acc = acc + o
+        out_dict[k] = acc
+    return out_dict
+
+
+def pyg_sinusoidal(x: torch.Tensor, dim: int, max_period: float = 10000.0):
+    """sinusoidal_embedding, ist_encoder.py:22-31 — cos-first ordering;
+    Positional2dEmbedder.embed passes max_period=10000 (detail 10)."""
+    half = dim // 2
+    freqs = torch.exp(
+        -math.log(max_period) * torch.arange(half, dtype=DT) / half
+    )
+    args = x[..., None] * freqs
+    emb = torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+    if dim % 2:
+        emb = torch.cat([emb, torch.zeros_like(emb[..., :1])], dim=-1)
+    return emb
+
+
+def pyg_positional(pos, params, freq_size: int = 256):
+    """Positional2dEmbedder.forward, batch path (ist_encoder.py:59-79)
+    with a single batch graph: min/max over all rows, ``+ 1e-8``
+    denominator (detail 10), MLP = Linear-SiLU-Linear, per-axis then
+    flattened."""
+    pos = t(pos)
+    mins = pos.min(0).values
+    maxs = pos.max(0).values
+    pn = (pos - mins) / (maxs - mins + 1e-8)
+    freq = pyg_sinusoidal(pn, freq_size)  # (N, 2, freq)
+    h = torch.nn.functional.silu(
+        freq @ t(params["Dense_0"]["kernel"]) + t(params["Dense_0"]["bias"])
+    )
+    h = h @ t(params["Dense_1"]["kernel"]) + t(params["Dense_1"]["bias"])
+    return h.reshape(h.shape[0], -1)  # (N, 2*dim), x-axis first
+
+
+def pyg_ist_encoder_forward(
+    tx_gene, bd_x, tx_pos, bd_pos,
+    tt_src, tt_dst, tb_src, tb_dst,
+    params, heads, hidden, out_ch, n_mid,
+):
+    """The full reference ISTEncoder.forward (ist_encoder.py:289-333) on
+    the vendored semantics above, in float64, recording every
+    intermediate the JAX encoder sows.
+
+    Edge types present at runtime: ('tx','neighbors','tx') and
+    ('tx','belongs','bd') — the ('bd','contains','tx') conv is dormant
+    (detail 6).
+
+    Returns (acts, out_dict): ``acts`` maps ``embed_tx/embed_bd`` (the
+    conv-stack input, post-GELU) and ``layer{i}_tx/layer{i}_bd`` (post-
+    conv, pre-GELU) to f64 tensors, matching the sow points in
+    segger_tpu/models/encoder.py.
+    """
+    p = params
+    gelu = lambda x: torch.nn.functional.gelu(x)  # exact erf (detail 8)
+
+    # lin_first: Embedding for tx (no bias), lazy Linear for bd
+    # (ist_encoder.py:258-263, 312)
+    x_tx = t(p["gene_embedding"]["embedding"])[
+        torch.tensor(np.asarray(tx_gene), dtype=torch.long)
+    ]
+    x_bd = t(bd_x) @ t(p["bd_linear"]["kernel"]) + t(p["bd_linear"]["bias"])
+
+    # positional concat (ist_encoder.py:315-319)
+    x_tx = torch.cat([x_tx, pyg_positional(tx_pos, p["pos_emb"])], -1)
+    x_bd = torch.cat([x_bd, pyg_positional(bd_pos, p["pos_emb"])], -1)
+    x_tx, x_bd = gelu(x_tx), gelu(x_bd)
+
+    acts = {"embed_tx": x_tx.clone(), "embed_bd": x_bd.clone()}
+
+    widths = [hidden] * (1 + n_mid) + [out_ch]
+    for i, w in enumerate(widths):
+        x_dict = {"tx": x_tx, "bd": x_bd}
+        edge_index_dict = {
+            ("tx", "neighbors", "tx"): (tt_src, tt_dst),
+            ("tx", "belongs", "bd"): (tb_src, tb_dst),
+        }
+        convs = {
+            ("tx", "neighbors", "tx"): p[f"conv_{i}"]["tt"],
+            ("tx", "belongs", "bd"): p[f"conv_{i}"]["tb"],
+        }
+        out = pyg_hetero_conv(x_dict, edge_index_dict, convs, heads, w)
+        x_tx, x_bd = out["tx"], out["bd"]
+        acts[f"layer{i}_tx"] = x_tx.clone()
+        acts[f"layer{i}_bd"] = x_bd.clone()
+        x_tx, x_bd = gelu(x_tx), gelu(x_bd)
+
+    # lin_last: HeteroDictLinear = independent per-type Linear
+    # (ist_encoder.py:282-286, 330)
+    x_tx = x_tx @ t(p["lin_last_tx"]["kernel"]) + t(p["lin_last_tx"]["bias"])
+    x_bd = x_bd @ t(p["lin_last_bd"]["kernel"]) + t(p["lin_last_bd"]["bias"])
+
+    # F.normalize(dim=-1): clamp(norm, 1e-12) (detail 9)
+    x_tx = torch.nn.functional.normalize(x_tx, dim=-1)
+    x_bd = torch.nn.functional.normalize(x_bd, dim=-1)
+    return acts, {"tx": x_tx, "bd": x_bd}

@@ -201,9 +201,10 @@ def test_capture_attention_on_fused_path(rng):
         np.asarray(fused["tx"]), np.asarray(unfused["tx"]),
         rtol=2e-4, atol=2e-5,
     )
+    flat = jax.tree_util.tree_flatten_with_path(state["intermediates"])[0]
     atts = [
-        np.asarray(v) for v in
-        jax.tree.leaves(state["intermediates"])
+        np.asarray(v) for path, v in flat
+        if any(getattr(p, "key", None) == "attention" for p in path)
     ]
     # 3 layers x (tt, tb) convs minimum; every alpha row sums to 1 or 0
     assert len(atts) >= 6
