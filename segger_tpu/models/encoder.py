@@ -183,7 +183,10 @@ class ISTEncoder(nn.Module):
         """``exchange``: optional callback ``(x_tx, x_bd) -> (x_tx_src,
         x_bd_src)`` invoked before every conv layer.  In distributed
         execution it performs the per-layer halo exchange (ppermute of
-        boundary-node features) and returns halo-extended source arrays;
+        boundary-node features) and returns halo-extended sources —
+        each either one array or a tuple of pieces ``(local, from_left,
+        from_right)`` that the conv projects piecewise so the ppermute
+        overlaps the local matmul (parallel/halo.py::_exchange_1d);
         locally it is None and sources == destinations.
         ``pos_prenormalized``: coordinates are already in [0, 1].
         ``capture_attention``: use the unfused conv path everywhere so

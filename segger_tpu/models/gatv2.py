@@ -98,7 +98,16 @@ class GATv2Conv(nn.Module):
         if self.dtype is not None:
             att = att.astype(self.dtype)
 
-        xl = lin_l(x_src)  # (N_src, H*C)
+        if isinstance(x_src, (tuple, list)):
+            # halo-extended source delivered in pieces: [local |
+            # from_left | from_right] (parallel/halo.py::_exchange_1d).
+            # Projecting piecewise keeps the large local matmul
+            # independent of the ppermute producing the halo rows, so
+            # XLA's latency-hiding scheduler overlaps the exchange with
+            # compute; concat-then-project would serialize them.
+            xl = jnp.concatenate([lin_l(p) for p in x_src], axis=0)
+        else:
+            xl = lin_l(x_src)  # (N_src, H*C)
         xr = lin_r(x_dst)  # (N_dst, H*C)
 
         if csr_t is not None and not capture_attention:

@@ -391,10 +391,18 @@ def build_sharded_graph(
 # ----------------------------------------------------------------------
 def _exchange_1d(x, send_left, send_left_mask, send_right,
                  send_right_mask, axis: str, n_shards: int):
-    """Extend local features with halo copies from both strip neighbors.
+    """Exchange halo features with both strip neighbors.
 
     Non-periodic 1D exchange: unaddressed receivers get zeros from
     ppermute, and the CSR masks never reference them.
+
+    Returns the extended source as PIECES ``(x, from_left, from_right)``
+    rather than one concatenated array: the conv projects each piece
+    separately (models/gatv2.py), so the large local-rows matmul carries
+    no data dependency on the ppermute and XLA's latency-hiding
+    scheduler overlaps the exchange with it.  Extended-space indices
+    (CSR tables, transpose tables) address the concatenation
+    ``[local | from_left | from_right]`` in this order.
     """
     buf_to_right = jnp.where(
         send_right_mask[:, None], x[send_right], 0.0
@@ -408,7 +416,7 @@ def _exchange_1d(x, send_left, send_left_mask, send_right,
         buf_to_left, axis,
         [(i + 1, i) for i in range(n_shards - 1)],
     )
-    return jnp.concatenate([x, from_left, from_right], axis=0)
+    return x, from_left, from_right
 
 
 def make_sharded_predict(
@@ -447,9 +455,13 @@ def make_sharded_predict(
             pos_prenormalized=True,
         )
         # final bd exchange for candidate scoring (cand idx are extended)
-        x_bd_ext = _exchange_1d(
-            emb["bd"], halo.bd_send_left, halo.bd_send_left_mask,
-            halo.bd_send_right, halo.bd_send_right_mask, axis, n_shards,
+        x_bd_ext = jnp.concatenate(
+            _exchange_1d(
+                emb["bd"], halo.bd_send_left, halo.bd_send_left_mask,
+                halo.bd_send_right, halo.bd_send_right_mask,
+                axis, n_shards,
+            ),
+            axis=0,
         )
         from ..ops import csr_gather, csr_max
 
@@ -562,9 +574,13 @@ def make_sharded_train_step(
         )
         # supervision srcs live in the extended space: one final tx
         # exchange exposes neighbor-shard embeddings to the link loss
-        x_tx_ext = _exchange_1d(
-            emb["tx"], halo.tx_send_left, halo.tx_send_left_mask,
-            halo.tx_send_right, halo.tx_send_right_mask, axis, n_shards,
+        x_tx_ext = jnp.concatenate(
+            _exchange_1d(
+                emb["tx"], halo.tx_send_left, halo.tx_send_left_mask,
+                halo.tx_send_right, halo.tx_send_right_mask,
+                axis, n_shards,
+            ),
+            axis=0,
         )
         s_sg, c_sg = L.segmentation_loss(
             k_sg, x_tx_ext, emb["bd"],

@@ -116,9 +116,12 @@ def test_sharded_training_grads_match_single_device(
             v = t.tx_valid
             s1 = jnp.where(v, (emb["tx"] ** 2).sum(-1), 0.0).sum()
             c1 = v.sum().astype(jnp.float32)
-            x_tx_ext = _exchange_1d(
-                emb["tx"], h.tx_send_left, h.tx_send_left_mask,
-                h.tx_send_right, h.tx_send_right_mask, "data", N_DEV,
+            x_tx_ext = jnp.concatenate(
+                _exchange_1d(
+                    emb["tx"], h.tx_send_left, h.tx_send_left_mask,
+                    h.tx_send_right, h.tx_send_right_mask, "data", N_DEV,
+                ),
+                axis=0,
             )
             link = (x_tx_ext[t.sg_src] * emb["bd"][t.sg_dst]).sum(-1)
             s2 = jnp.where(t.sg_mask, link, 0.0).sum()
