@@ -17,6 +17,14 @@ The host fetch forces completion; the measured per-chain round-trip
 floor (a trivial chain of the same length) is subtracted so the number
 is device time, not tunnel latency.
 
+Graph realism: tx positions and the tt kNN graph are a real spatial
+kNN (uniform point density at Xenium scale), so the hot tx->tx loop's
+locality is representative.  Boundary positions and candidate edges
+are drawn uniformly at random, NOT spatially — tb/cand gather locality
+is therefore pessimistic vs a real slide (candidates there are the
+spatially-nearest cells).  The headline edges/s number is dominated by
+the tt stage and is credible; treat tb/cand sub-timings as bounds.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": R}
 ``vs_baseline`` is the ratio to a 1e9 edges/s nominal target (the
