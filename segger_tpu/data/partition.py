@@ -281,6 +281,13 @@ def merge_buckets(shapes: Sequence[BucketShape]) -> BucketShape:
     n_tx = max(s.n_tx for s in shapes)
     n_lo = min(s.n_lo for s in shapes)
     k_lo = max(s.k_lo for s in shapes)
+    # quantize the merged boundary down to a coarse grid: rounding down
+    # is always valid (a smaller lo region just demotes rows to the
+    # full-width kernel), and coarse values let independently-merged
+    # bins share one static tile signature so the scanned trainer can
+    # stack them into a single compiled program
+    q = max(8, (n_tx // 16) // 8 * 8)
+    n_lo = (n_lo // q) * q
     if k_tt <= k_lo or n_lo < n_tx // 4:
         n_lo = k_lo = 0
     return BucketShape(

@@ -73,47 +73,52 @@ def make_synthetic(
     gene_names = np.array([f"GENE_{g:03d}" for g in range(n_genes)])
     cell_ids = np.array([f"cell_{c:05d}" for c in range(n_cells)])
 
-    rows = []
-    truth = []
-    for c in range(n_cells):
-        n_tx = rng.poisson(mean_tx_per_cell)
-        if n_tx == 0:
-            continue
-        # radial gaussian spread; ~some fraction inside nucleus radius
-        pos = centers[c] + rng.normal(0, radii[c] * 0.55, (n_tx, 2))
-        genes = rng.choice(n_genes, n_tx, p=programs[types[c]])
-        d = np.sqrt(((pos - centers[c]) ** 2).sum(axis=1))
-        r_nuc = radii[c] * nucleus_ratio
-        compartment = np.where(
-            d <= r_nuc,
-            tx_f.nucleus_value,
-            np.where(d <= radii[c], tx_f.cytoplasmic_value,
-                     tx_f.extracellular_value),
-        )
-        # vendor assignment: inside the cell -> this cell, else unassigned
-        vendor = np.where(d <= radii[c], cell_ids[c], "")
-        for i in range(n_tx):
-            rows.append(
-                (pos[i, 0], pos[i, 1], gene_names[genes[i]],
-                 vendor[i], compartment[i])
-            )
-            truth.append(cell_ids[c])
+    # fully vectorized transcript generation (a per-transcript Python
+    # loop is prohibitive at the 10M-transcript whole-slide scale)
+    counts = rng.poisson(mean_tx_per_cell, n_cells)
+    cell_of = np.repeat(np.arange(n_cells), counts)
+    n_total = cell_of.size
+    sigma = (radii * 0.55)[cell_of]
+    pos = centers[cell_of] + rng.normal(0, 1, (n_total, 2)) * sigma[:, None]
+    genes = np.empty(n_total, np.int64)
+    for t in range(n_cell_types):  # per-type gene-program sampling
+        sel = types[cell_of] == t
+        genes[sel] = rng.choice(n_genes, int(sel.sum()), p=programs[t])
+    d = np.sqrt(((pos - centers[cell_of]) ** 2).sum(axis=1))
+    r_cell = radii[cell_of]
+    compartment = np.where(
+        d <= r_cell * nucleus_ratio,
+        tx_f.nucleus_value,
+        np.where(d <= r_cell, tx_f.cytoplasmic_value,
+                 tx_f.extracellular_value),
+    )
+    # vendor assignment: inside the cell -> this cell, else unassigned
+    vendor = np.where(d <= r_cell, cell_ids[cell_of], "")
+    truth_arr = cell_ids[cell_of]
 
     # background noise transcripts
-    n_bg = int(len(rows) * background_rate)
+    n_bg = int(n_total * background_rate)
     bg_pos = rng.uniform(0, extent, (n_bg, 2))
     bg_genes = rng.integers(0, n_genes, n_bg)
-    for i in range(n_bg):
-        rows.append(
-            (bg_pos[i, 0], bg_pos[i, 1], gene_names[bg_genes[i]],
-             "", tx_f.extracellular_value)
-        )
-        truth.append("")
 
     tx = pd.DataFrame(
-        rows, columns=[tx_f.x, tx_f.y, tx_f.feature, tx_f.cell_id,
-                       tx_f.compartment]
+        {
+            tx_f.x: np.concatenate([pos[:, 0], bg_pos[:, 0]]),
+            tx_f.y: np.concatenate([pos[:, 1], bg_pos[:, 1]]),
+            tx_f.feature: gene_names[np.concatenate([genes, bg_genes])],
+            tx_f.cell_id: np.concatenate(
+                [vendor, np.full(n_bg, "", dtype=vendor.dtype)]
+            ),
+            tx_f.compartment: np.concatenate(
+                [compartment,
+                 np.full(n_bg, tx_f.extracellular_value,
+                         dtype=compartment.dtype)]
+            ),
+        }
     )
+    truth = np.concatenate(
+        [truth_arr, np.full(n_bg, "", dtype=truth_arr.dtype)]
+    ).tolist()
     # shuffle to avoid cell-sorted order
     perm = rng.permutation(len(tx))
     tx = tx.iloc[perm].reset_index(drop=True)

@@ -497,9 +497,13 @@ class SeggerTrainer:
         ep_loss = []
         groups: Dict[tuple, list] = {}
         for batch in batches:
-            sig = tuple(
-                (tuple(x.shape), str(x.dtype))
-                for x in jax.tree.leaves(batch)
+            leaves, treedef = jax.tree.flatten(batch)
+            # treedef carries the tile's static metadata (tt_n_lo /
+            # tt_k_lo / transposes_extended) — batches may only stack
+            # when it matches, not just the leaf shapes
+            sig = (
+                treedef,
+                tuple((tuple(x.shape), str(x.dtype)) for x in leaves),
             )
             groups.setdefault(sig, []).append(batch)
         for group in groups.values():

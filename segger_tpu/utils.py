@@ -28,6 +28,18 @@ def print_free_mem() -> None:
     print(free_mem_str())
 
 
+def peak_rss_gb() -> float:
+    """Process high-water-mark RSS in GB (VmHWM)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return float("nan")
+
+
 class MemFilter(logging.Filter):
     """Injects live memory usage into every record
     (reference: utils.py:6-13)."""
