@@ -90,6 +90,10 @@ def add_segment_parser(sub):
                    help="Predict via halo-exchange whole-slide sharding "
                         "over the mesh instead of halo tiles (exact; "
                         "no margins or dedupe)")
+    p.add_argument("--distributed-train", action="store_true",
+                   help="Train margin-free on the whole strip-sharded "
+                        "slide (per-layer halo exchange, exact "
+                        "receptive fields) instead of margin tiles")
     _registry().add_arguments(p)
     p.set_defaults(func=run_segment)
     return p
@@ -131,10 +135,14 @@ def run_segment(args) -> int:
     trainer = SeggerTrainer(
         pipeline.graph, TrainConfig(**train_kwargs), mesh=mesh
     )
-    fit_tiles = make_fit_tiles(
-        pipeline.graph, pipeline.tree, margin=cfg.tiling_margin_training
-    )
-    trainer.fit(fit_tiles)
+    if args.distributed_train:
+        trainer.fit_whole_slide(mesh)
+    else:
+        fit_tiles = make_fit_tiles(
+            pipeline.graph, pipeline.tree,
+            margin=cfg.tiling_margin_training,
+        )
+        trainer.fit(fit_tiles)
 
     if args.debug:
         # debug artifacts for stage-isolated re-runs

@@ -125,3 +125,27 @@ def test_debug_predict_only(dataset, segmented, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert (out / "segger_segmentation.parquet").exists()
+
+
+def test_segment_distributed_train_and_predict(dataset, tmp_path):
+    """--distributed-train + --distributed-predict: the margin-free
+    whole-slide halo-exchange paths end-to-end through the CLI."""
+    out = tmp_path / "seg_dist"
+    r = run_cli(
+        "segment", "-i", dataset, "-o", out,
+        "--cells-embedding-size", 16,
+        "--cells-min-counts", 5,
+        "--genes-min-counts", 10,
+        "--tiling-nodes-per-tile", 2000,
+        "--hidden-channels", 16,
+        "--out-channels", 16,
+        "--n-mid-layers", 0,
+        "--max-epochs", 2,
+        "--no-anndata",
+        "--distributed-train",
+        "--distributed-predict",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    seg = pd.read_parquet(out / "segger_segmentation.parquet")
+    assert len(seg) > 0
+    assert seg["segger_cell_id"].notna().mean() > 0.3
