@@ -143,6 +143,9 @@ def main():
     import optax
     from segger_tpu.models import ISTEncoder
     from segger_tpu.models import losses as L
+    from segger_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     tile = build_tile()
     n_layers = 4  # 2 + n_mid_layers

@@ -58,6 +58,7 @@ _TRAIN_NAMES = [
     "edges_per_batch",
     "training_fraction",
     "tiles_per_step",
+    "shape_merge",
     "seed",
 ]
 

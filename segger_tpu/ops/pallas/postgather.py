@@ -30,9 +30,15 @@ Layout strategy (the part that makes this fast on TPU):
 - Softmax statistics are always f32 even when features are bf16.
 
 Backward: same blocking, recomputes the cheap forward chain from the
-(already materialized) gathered tensor and emits dgather/dxr/datt/dkeep
-in one kernel; dxl is then a scatter-free transpose-space gather in XLA
-(csr_t), identical to ops/edge_stage.py's approach.
+gathered tensor and emits dgather/dxr/datt/dkeep in one kernel; dxl is
+then a scatter-free transpose-space gather in XLA (csr_t), identical to
+ops/edge_stage.py's approach.  The gathered (padded) tensor itself is
+saved as a VJP residual — re-gathering it in the backward would cost an
+extra random-read + sequential-write HBM round trip of the largest
+tensor in the stage (~40% of backward traffic) for ~100 MB/layer of
+residual memory saved, the wrong trade at tile scale.  Forward and
+backward share one block size so the residual's padding is valid for
+both grids.
 """
 from __future__ import annotations
 
@@ -57,12 +63,13 @@ _NEG_INF = -1e30
 _F32 = jnp.float32
 
 
-def _block_rows(k: int, for_bwd: bool = False) -> int:
+def _block_rows(k: int) -> int:
     """Destination rows per grid step: keep B*K edge rows bounded so the
-    (B, K, HC) f32 tensors in flight stay ~1 MB (0.5 MB for the
-    backward, which holds more of them)."""
-    target = 1024 if for_bwd else 2048
-    return max(8, min(512, (target // max(k, 1)) // 8 * 8))
+    (B, K, HC) f32 tensors in flight stay ~0.5 MB.  One size serves the
+    forward and the backward: the backward holds more tensors (sizing
+    constraint) and reuses the forward-padded gathered residual (same
+    grid constraint)."""
+    return max(8, min(512, (1024 // max(k, 1)) // 8 * 8))
 
 
 def _head_matrices(att: jnp.ndarray, dtype) -> Tuple[jnp.ndarray, ...]:
@@ -353,16 +360,23 @@ def _fwd_rule(xl, xr, att, keep_mask, csr, csr_t, config):
         out_shape=jax.ShapeDtypeStruct((n_pad, hc), xr.dtype),
         interpret=interpret,
     )(*operands)
-    return out[:n_dst], (xl, xr, att, keep_mask, csr, csr_t)
+    # g3 (the padded gathered tensor) rides as a residual so the
+    # backward never re-gathers; n_src recovers dxl's row count
+    return out[:n_dst], (g3, xr, att, keep_mask, csr, csr_t, xl.shape[0])
 
 
 def _bwd_rule(config, res, G):
     heads, slope, interpret = config
-    xl, xr, att, keep_mask, csr, csr_t = res
-    blk = _block_rows(csr.idx.shape[1], for_bwd=True)
-    g3, xr_p, keep, mask_f, n_dst, n_pad, k, hc = _prep(
-        xl, xr, keep_mask, csr, blk
-    )
+    g3, xr, att, keep_mask, csr, csr_t, n_src = res
+    blk = _block_rows(csr.idx.shape[1])
+    n_dst, k = csr.idx.shape
+    n_pad, _, hc = g3.shape
+    xr_p = _pad_rows(xr, n_pad)
+    mask_f = _pad_rows(csr.mask, n_pad).astype(jnp.float32)
+    if _no_keep(keep_mask):
+        keep = None
+    else:
+        keep = _pad_rows(keep_mask.astype(g3.dtype), n_pad)
     G_p = _pad_rows(G, n_pad)
     am, ms, e = _head_matrices(att, xr.dtype)
     common = _common_specs(blk, k, hc, heads, with_keep=keep is not None)
@@ -419,7 +433,7 @@ def _bwd_rule(config, res, G):
     dg_flat = dg3[:n_dst].reshape(n_dst * k, hc)
     rows = jnp.take(dg_flat, csr_t.idx, axis=0)       # (Ns, Kt, HC)
     dxl = jnp.where(csr_t.mask[..., None], rows, 0.0).sum(axis=1)
-    return dxl.astype(xl.dtype), dxr, datt, dkeep, None, None
+    return dxl.astype(g3.dtype), dxr, datt, dkeep, None, None
 
 
 gatv2_edge_stage_pallas.defvjp(_fwd_rule, _bwd_rule)

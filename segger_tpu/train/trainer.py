@@ -83,6 +83,14 @@ class TrainConfig:
     # (amortizes per-call dispatch latency; batches must share shapes,
     # which the bucketed packer provides). 0 = one dispatch per step.
     scan_steps: int = 0
+    # 'global' pads every batch of a fit/predict pass to ONE merged
+    # bucket shape so the whole pass compiles a single program per scan
+    # depth; 'bin' keeps per-bin merged shapes (less padding, one
+    # compile per distinct bin shape).  At whole-slide scale XLA
+    # compilation dominates wall-clock (measured 1.4 ks of a 1.5 ks
+    # 1M-transcript fit), so 'global' is the default; padding overhead
+    # is bounded by the bucket rounding (~10-30% extra edge-stage work).
+    shape_merge: str = "global"
 
 
 class SeggerTrainer:
@@ -97,6 +105,9 @@ class SeggerTrainer:
         """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
         stacked-tile batches are sharded over it (tile data parallelism;
         XLA inserts the gradient all-reduce)."""
+        from ..utils import enable_compilation_cache
+
+        enable_compilation_cache()
         self.graph = graph
         self.cfg = config
         self.mesh = mesh
@@ -315,10 +326,18 @@ class SeggerTrainer:
         bins = packer(values, self.cfg.edges_per_batch, **kwargs)
         plans = []
         m = self.cfg.tiles_per_step
+        per_bin = []
         for bin_idx in bins:
             specs = [tiles[i] for i in bin_idx]
             shapes = [tile_bucket(self.graph, s) for s in specs]
-            bucket = merge_buckets(shapes)
+            per_bin.append((specs, merge_buckets(shapes)))
+        if self.cfg.shape_merge == "global" and per_bin:
+            # one padded shape for the whole pass -> one compiled
+            # program per scan depth (compilation dominates whole-slide
+            # wall-clock; see TrainConfig.shape_merge)
+            g = merge_buckets([b for _, b in per_bin])
+            per_bin = [(specs, g) for specs, _ in per_bin]
+        for specs, bucket in per_bin:
             for s in range(0, len(specs), m):
                 plans.append((specs[s : s + m], bucket))
         return plans
@@ -508,8 +527,27 @@ class SeggerTrainer:
             groups.setdefault(sig, []).append(batch)
         for group in groups.values():
             s = self.cfg.scan_steps
-            for i in range(0, len(group), s):
-                chunk = group[i : i + s]
+            # chunk the group into scan depths from a stable menu
+            # (full, then descending powers of two for the remainder):
+            # each distinct depth is a separate compiled program, so a
+            # raw remainder (1..s-1, varying with every repack) would
+            # recompile almost every epoch
+            sizes = []
+            n_left = len(group)
+            while n_left >= s:
+                sizes.append(s)
+                n_left -= s
+            p = 1
+            while p * 2 <= max(n_left, 1):
+                p *= 2
+            while n_left > 0:
+                while p > n_left:
+                    p //= 2
+                sizes.append(p)
+                n_left -= p
+            starts = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+            for i, sz in zip(starts, sizes):
+                chunk = group[i : i + sz]
                 stacked = jax.tree.map(
                     lambda *xs: jnp.stack(xs), *chunk
                 )

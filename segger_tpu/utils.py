@@ -28,6 +28,34 @@ def print_free_mem() -> None:
     print(free_mem_str())
 
 
+def enable_compilation_cache() -> None:
+    """Point JAX at a persistent on-disk compilation cache.
+
+    Whole-slide runs are dominated by XLA compiles through this
+    environment's tunneled TPU backend (minutes per program); the
+    persistent cache makes repeat shapes free across processes.
+    Directory from ``SEGGER_XLA_CACHE`` (set to ``0`` to disable);
+    default ``/tmp/segger_tpu_xla_cache``.  Idempotent and safe to call
+    before or after backend initialization.
+    """
+    import os
+
+    d = os.environ.get("SEGGER_XLA_CACHE", "/tmp/segger_tpu_xla_cache")
+    if not d or d == "0":
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - old jax without the knobs
+        logging.getLogger(__name__).warning(
+            "could not enable the persistent compilation cache",
+            exc_info=True,
+        )
+
+
 def peak_rss_gb() -> float:
     """Process high-water-mark RSS in GB (VmHWM)."""
     try:

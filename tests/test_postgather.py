@@ -99,10 +99,10 @@ def test_bf16_inputs(rng):
 
 
 def test_block_rows_adapt():
-    assert postgather._block_rows(8) == 256
-    assert postgather._block_rows(16) == 128
-    assert postgather._block_rows(64) == 32
-    assert postgather._block_rows(8, for_bwd=True) == 128
+    assert postgather._block_rows(8) == 128
+    assert postgather._block_rows(16) == 64
+    assert postgather._block_rows(64) == 16
+    assert postgather._block_rows(1) == 512
 
 
 def test_supported_gate(rng):
