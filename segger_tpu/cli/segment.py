@@ -95,6 +95,10 @@ def add_segment_parser(sub):
                    help="Train margin-free on the whole strip-sharded "
                         "slide (per-layer halo exchange, exact "
                         "receptive fields) instead of margin tiles")
+    p.add_argument("--grid", default=None, metavar="DXxDY",
+                   help="Use a 2-D grid decomposition (e.g. 4x2) for "
+                        "the distributed train/predict paths instead "
+                        "of 1-D strips — for slides large in both axes")
     _registry().add_arguments(p)
     p.set_defaults(func=run_segment)
     return p
@@ -136,8 +140,12 @@ def run_segment(args) -> int:
     trainer = SeggerTrainer(
         pipeline.graph, TrainConfig(**train_kwargs), mesh=mesh
     )
+    grid = None
+    if args.grid:
+        dx_, dy_ = args.grid.lower().split("x")
+        grid = (int(dx_), int(dy_))
     if args.distributed_train:
-        trainer.fit_whole_slide(mesh)
+        trainer.fit_whole_slide(mesh, grid=grid)
     else:
         fit_tiles = make_fit_tiles(
             pipeline.graph, pipeline.tree,
@@ -161,7 +169,7 @@ def run_segment(args) -> int:
         pipeline.adata.write_h5ad(debug_dir / "adata_debug.h5ad")
 
     if args.distributed_predict:
-        predictions = trainer.predict_whole_slide(mesh)
+        predictions = trainer.predict_whole_slide(mesh, grid=grid)
     else:
         predict_tiles = make_predict_tiles(
             pipeline.graph, pipeline.tree,

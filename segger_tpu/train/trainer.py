@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -598,12 +598,23 @@ class SeggerTrainer:
                 for k, v in out.items()}
 
     # ------------------------------------------------------------------
-    def predict_whole_slide(self, mesh=None) -> Dict[str, np.ndarray]:
+    def predict_whole_slide(
+        self, mesh=None, grid: Optional[Tuple[int, int]] = None
+    ) -> Dict[str, np.ndarray]:
         """Distributed whole-slide prediction via halo exchange: the
         graph is strip-partitioned over the mesh and boundary features
         are ppermuted per layer — exact (no margins/dedupe), the
         TPU-native replacement for halo-tile prediction
-        (``segger_tpu.parallel.halo``)."""
+        (``segger_tpu.parallel.halo``).  ``grid=(dx, dy)`` selects the
+        2-D decomposition (``segger_tpu.parallel.grid``) for slides
+        large in both axes; ``mesh`` is ignored in that case."""
+        if grid is not None:
+            from ..parallel.grid import grid_predict, make_grid_mesh
+
+            return grid_predict(
+                self.model, self.params, self.graph,
+                make_grid_mesh(*grid),
+            )
         from ..parallel.halo import sharded_predict
 
         mesh = mesh or self.mesh
@@ -615,7 +626,8 @@ class SeggerTrainer:
 
     # ------------------------------------------------------------------
     def fit_whole_slide(
-        self, mesh=None, max_epochs: Optional[int] = None
+        self, mesh=None, max_epochs: Optional[int] = None,
+        grid: Optional[Tuple[int, int]] = None,
     ) -> List[Dict]:
         """Margin-free whole-slide training over the device mesh.
 
@@ -626,25 +638,51 @@ class SeggerTrainer:
         gradients returned through the ``ppermute`` VJP, loss statistics
         ``psum``-reduced into exact whole-slide masked means
         (``parallel.halo.make_sharded_train_step``).  One optimizer step
-        per epoch (the whole slide is the batch)."""
+        per epoch (the whole slide is the batch).  ``grid=(dx, dy)``
+        selects the 2-D decomposition (``segger_tpu.parallel.grid``);
+        ``mesh`` is ignored in that case."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.halo import (
-            build_sharded_graph, make_sharded_train_step,
-        )
-
         cfg = self.cfg
-        mesh = mesh or self.mesh
-        if mesh is None:
-            from ..parallel.mesh import make_mesh
-
-            mesh = make_mesh()
         max_epochs = max_epochs or cfg.max_epochs
 
-        n = mesh.shape["data"]
-        stacked, halo, dropped = build_sharded_graph(
-            self.graph, n, for_training=True
-        )
+        if grid is not None:
+            from ..parallel.grid import (
+                build_grid_sharded_graph, make_grid_mesh,
+                make_grid_train_step,
+            )
+
+            mesh = make_grid_mesh(*grid)
+            stacked, halo, dropped = build_grid_sharded_graph(
+                self.graph, *grid, for_training=True
+            )
+            spec = P(("x", "y"))
+            mk_step = lambda: make_grid_train_step(  # noqa: E731
+                self.model, self.tx, mesh,
+                self.tx_similarity, self.bd_similarity,
+                tx_margin=cfg.tx_margin, sg_margin=cfg.sg_margin,
+                sg_loss_type=cfg.sg_loss_type,
+            )
+        else:
+            from ..parallel.halo import (
+                build_sharded_graph, make_sharded_train_step,
+            )
+
+            mesh = mesh or self.mesh
+            if mesh is None:
+                from ..parallel.mesh import make_mesh
+
+                mesh = make_mesh()
+            stacked, halo, dropped = build_sharded_graph(
+                self.graph, mesh.shape["data"], for_training=True
+            )
+            spec = P("data")
+            mk_step = lambda: make_sharded_train_step(  # noqa: E731
+                self.model, self.tx, mesh,
+                self.tx_similarity, self.bd_similarity,
+                tx_margin=cfg.tx_margin, sg_margin=cfg.sg_margin,
+                sg_loss_type=cfg.sg_loss_type,
+            )
         if dropped.any():
             logger.warning(
                 "whole-slide training dropped %s non-adjacent-shard "
@@ -653,19 +691,14 @@ class SeggerTrainer:
         if self.params is None:
             template = jax.tree.map(lambda x: np.asarray(x)[0], stacked)
             self.init(template)
-        sharding = NamedSharding(mesh, P("data"))
+        sharding = NamedSharding(mesh, spec)
         stacked = jax.tree.map(
             lambda x: jax.device_put(jnp.asarray(x), sharding), stacked
         )
         halo = jax.tree.map(
             lambda x: jax.device_put(jnp.asarray(x), sharding), halo
         )
-        step = make_sharded_train_step(
-            self.model, self.tx, mesh,
-            self.tx_similarity, self.bd_similarity,
-            tx_margin=cfg.tx_margin, sg_margin=cfg.sg_margin,
-            sg_loss_type=cfg.sg_loss_type,
-        )
+        step = mk_step()
         key = jax.random.PRNGKey(cfg.seed + 1)
         w_start = np.array(
             [cfg.tx_weight_start, cfg.bd_weight_start, cfg.sg_weight_start]

@@ -211,6 +211,24 @@ def test_grid_training_grads_match_single_device(graph, model_and_params):
     )
 
 
+def test_trainer_grid_whole_slide(graph):
+    """SeggerTrainer fit_whole_slide/predict_whole_slide with
+    grid=(dx, dy) end-to-end."""
+    from segger_tpu.train.trainer import SeggerTrainer, TrainConfig
+
+    tr = SeggerTrainer(
+        graph,
+        TrainConfig(hidden_channels=8, out_channels=8, n_mid_layers=0,
+                    n_heads=1, max_epochs=2, seed=0),
+    )
+    history = tr.fit_whole_slide(grid=(DX, DY), max_epochs=2)
+    assert len(history) == 2
+    assert all(np.isfinite([h["train:loss"] for h in history]))
+    preds = tr.predict_whole_slide(grid=(DX, DY))
+    assert len(preds["row_index"]) == graph.n_tx
+    assert len(np.unique(preds["row_index"])) == graph.n_tx
+
+
 def test_grid_train_step_runs_and_learns(graph, model_and_params):
     """Production losses: optimizer steps over the grid stay finite and
     move the loss."""
