@@ -91,6 +91,14 @@ class TrainConfig:
     # 1M-transcript fit), so 'global' is the default; padding overhead
     # is bounded by the bucket rounding (~10-30% extra edge-stage work).
     shape_merge: str = "global"
+    # Cache per-tile extraction results across epochs, up to this many
+    # GB of host RAM (0 disables).  With 'global' shape merge the
+    # padded extraction of a tile is identical every epoch — only the
+    # shuffled grouping into batches changes — so epochs >= 2 skip the
+    # fancy-indexing/CSR-build host work entirely and just restack.
+    # (The reference re-slices tiles in DataLoader workers each epoch,
+    # data_module.py:346-366.)
+    tile_cache_gb: float = 24.0
 
 
 class SeggerTrainer:
@@ -142,6 +150,9 @@ class SeggerTrainer:
         self._train_step = None
         self._predict_step = None
         self.history: List[Dict] = []
+        # epoch-spanning tile-extraction cache (TrainConfig.tile_cache_gb)
+        self._tile_cache: Dict = {}
+        self._tile_cache_bytes = 0
 
     # ------------------------------------------------------------------
     def init(self, template: TileGraph):
@@ -342,10 +353,35 @@ class SeggerTrainer:
                 plans.append((specs[s : s + m], bucket))
         return plans
 
+    def _extract_cached(self, spec: TileSpec, bucket) -> TileGraph:
+        """extract_tile with an epoch-spanning cache.
+
+        Keyed by (spec identity, bucket shape): under 'global' shape
+        merge both are stable across epochs, so re-shuffled epochs
+        reuse the padded arrays and only restack."""
+        if self.cfg.tile_cache_gb <= 0:
+            return extract_tile(self.graph, spec, bucket)
+        import dataclasses
+
+        k = (id(spec), dataclasses.astuple(bucket))
+        hit = self._tile_cache.get(k)
+        if hit is not None:
+            return hit[1]
+        t = extract_tile(self.graph, spec, bucket)
+        nb = sum(
+            a.nbytes for a in jax.tree.leaves(t) if hasattr(a, "nbytes")
+        )
+        if (self._tile_cache_bytes + nb
+                <= self.cfg.tile_cache_gb * 1e9):
+            # the spec rides in the value to pin its id() for the key
+            self._tile_cache[k] = (spec, t)
+            self._tile_cache_bytes += nb
+        return t
+
     def _build_batch(self, plan) -> TileGraph:
         specs, bucket = plan
         f_bd = self.graph.bd_x.shape[1]
-        tgs = [extract_tile(self.graph, s, bucket) for s in specs]
+        tgs = [self._extract_cached(s, bucket) for s in specs]
         # round tile count to a multiple of tiles_per_step with empty
         # (all-masked) tiles
         while len(tgs) % self.cfg.tiles_per_step:

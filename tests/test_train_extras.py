@@ -47,6 +47,45 @@ def test_mesh_sharded_fit(small_pipeline):
     assert np.isfinite(hist[0]["train:loss"])
 
 
+def test_tile_cache_identical_training(small_pipeline, monkeypatch):
+    """The epoch-spanning extraction cache must not change training:
+    same loss history with the cache on and off, and epochs >= 2 must
+    actually hit it (extract_tile called only in epoch 1)."""
+    import segger_tpu.train.trainer as trainer_mod
+
+    tiles = make_fit_tiles(small_pipeline.graph, small_pipeline.tree,
+                           margin=8.0)
+    kw = dict(hidden_channels=8, out_channels=8, n_mid_layers=0,
+              n_heads=1, max_epochs=2, seed=0)
+
+    calls = {"n": 0}
+    real = trainer_mod.extract_tile
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(trainer_mod, "extract_tile", counted)
+
+    tr_on = SeggerTrainer(
+        small_pipeline.graph, TrainConfig(tile_cache_gb=24.0, **kw)
+    )
+    h_on = tr_on.fit(tiles, max_epochs=2)
+    n_on = calls["n"]
+
+    calls["n"] = 0
+    tr_off = SeggerTrainer(
+        small_pipeline.graph, TrainConfig(tile_cache_gb=0.0, **kw)
+    )
+    h_off = tr_off.fit(tiles, max_epochs=2)
+    n_off = calls["n"]
+
+    assert n_on < n_off  # epoch 2 (and val re-eval) reused extractions
+    assert tr_on._tile_cache_bytes > 0
+    for a, b in zip(h_on, h_off):
+        assert a["train:loss"] == b["train:loss"], (a, b)
+
+
 def test_checkpoint_resume(small_pipeline, tmp_path):
     cfg = TrainConfig(
         hidden_channels=8, out_channels=8, n_mid_layers=0, n_heads=1,
