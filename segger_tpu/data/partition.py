@@ -93,6 +93,16 @@ def square_tiling(pos: np.ndarray, side_length: float) -> QuadTree:
     return tree
 
 
+def _group_rows_by_label(labels: np.ndarray, n_groups: int):
+    """Sorted row indices per label in one argsort pass (replaces the
+    O(N x T) per-leaf ``np.where(lab == li)`` scans)."""
+    order = np.argsort(labels, kind="stable")
+    sl = labels[order]
+    starts = np.searchsorted(sl, np.arange(n_groups))
+    ends = np.searchsorted(sl, np.arange(n_groups), side="right")
+    return [np.sort(order[s:e]) for s, e in zip(starts, ends)]
+
+
 def make_fit_tiles(
     graph: HostGraph, tree: QuadTree, margin: float = 20.0
 ) -> List[TileSpec]:
@@ -116,10 +126,12 @@ def make_fit_tiles(
         minlength=tree.n_leaves,
     )
 
+    tx_groups = _group_rows_by_label(tx_lab, tree.n_leaves)
+    bd_groups = _group_rows_by_label(bd_lab, tree.n_leaves)
     tiles = []
     for li in range(tree.n_leaves):
-        tx_rows = np.where(tx_lab == li)[0]
-        bd_rows = np.where(bd_lab == li)[0]
+        tx_rows = tx_groups[li]
+        bd_rows = bd_groups[li]
         if tx_rows.size == 0:
             continue
         tiles.append(
@@ -146,20 +158,37 @@ def make_predict_tiles(
     tx_pairs = tree.expanded_label_multi(graph.tx_pos, margin)
     bd_pairs = tree.expanded_label_multi(graph.bd_pos, margin)
 
+    # group the (row, leaf) membership pairs by leaf in one pass
+    def group_pairs(rows, leaves):
+        order = np.argsort(leaves, kind="stable")
+        sl = leaves[order]
+        starts = np.searchsorted(sl, np.arange(tree.n_leaves))
+        ends = np.searchsorted(sl, np.arange(tree.n_leaves),
+                               side="right")
+        return [np.sort(rows[order[s:e]])
+                for s, e in zip(starts, ends)]
+
+    tx_groups = group_pairs(*tx_pairs)
+    bd_groups = group_pairs(*bd_pairs)
+    eg = _edge_groups(graph)
+    in_tile = np.zeros(graph.n_tx, bool)
+
     tiles = []
     for li in range(tree.n_leaves):
-        tx_rows = np.sort(tx_pairs[0][tx_pairs[1] == li])
-        bd_rows = np.sort(bd_pairs[0][bd_pairs[1] == li])
+        tx_rows = tx_groups[li]
+        bd_rows = bd_groups[li]
         if tx_rows.size == 0:
             continue
         tx_interior = tx_lab[tx_rows] == li
         bd_interior = bd_lab[bd_rows] == li
         if not tx_interior.any():
             continue
-        # edge count for packing: tt edges with dst in tile
-        in_tile = np.zeros(graph.n_tx, bool)
+        # edge count for packing: tt edges with both endpoints in tile
+        # (dst in tile via the edge index; membership-test the src)
         in_tile[tx_rows] = True
-        ne = int((in_tile[graph.tt_src] & in_tile[graph.tt_dst]).sum())
+        r = eg["tt"].rows(tx_rows)
+        ne = int(in_tile[graph.tt_src[r]].sum())
+        in_tile[tx_rows] = False
         tiles.append(
             TileSpec(
                 tx_rows=tx_rows,
@@ -206,7 +235,10 @@ class BucketShape:
 
 def _subselect_edges(src, dst, tx_map, bd_map=None):
     """Select edges with both endpoints in the tile, remapped to local
-    indices.  ``tx_map``/``bd_map`` are global->local arrays (-1 if out)."""
+    indices.  ``tx_map``/``bd_map`` are global->local arrays (-1 if out).
+
+    O(E_graph) per call — superseded on the tile path by
+    :func:`_tile_edges` (O(E_tile)); kept for ad-hoc use."""
     dmap = tx_map if bd_map is None else bd_map
     s = tx_map[src]
     d = dmap[dst]
@@ -214,22 +246,92 @@ def _subselect_edges(src, dst, tx_map, bd_map=None):
     return s[keep], d[keep]
 
 
-def tile_bucket(
-    graph: HostGraph, spec: TileSpec,
-    round_tx: int = 256, round_bd: int = 64,
-) -> BucketShape:
-    """Compute the padded bucket shape for a tile (degrees rounded so few
-    distinct shapes occur -> few XLA compilations)."""
+class _EdgeGroups:
+    """Key-sorted edge index: for each node, the rows of the edge arrays
+    keyed by it (a host-side CSR over edge *rows*).  Built once per
+    graph; makes per-tile edge subselection O(E_tile) instead of the
+    O(E_graph) full-array scan that dominated whole-slide batch prep
+    (256 tiles x 50M edges x 3 types x 2 passes per epoch)."""
+
+    def __init__(self, key: np.ndarray, n_keys: int):
+        self.order = np.argsort(key, kind="stable")
+        counts = np.bincount(key, minlength=n_keys)
+        self.indptr = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(counts)]
+        )
+
+    def rows(self, nodes: np.ndarray) -> np.ndarray:
+        """Edge rows whose key is in ``nodes`` (grouped by node)."""
+        starts = self.indptr[nodes]
+        counts = self.indptr[nodes + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
+            return np.zeros(0, np.int64)
+        cum = np.concatenate([np.zeros(1, np.int64),
+                              np.cumsum(counts)[:-1]])
+        pos = (np.arange(total) - np.repeat(cum, counts)
+               + np.repeat(starts, counts))
+        return self.order[pos]
+
+
+def _edge_groups(graph: HostGraph) -> dict:
+    """Lazy per-graph edge indexes, keyed by the tile-row endpoint of
+    each edge type (tt/cand: tx; sg: bd)."""
+    eg = graph.__dict__.get("_edge_groups_cache")
+    if eg is None:
+        eg = {
+            "tt": _EdgeGroups(graph.tt_dst, graph.n_tx),
+            "sg": _EdgeGroups(graph.sg_dst, graph.n_bd),
+            "cand": _EdgeGroups(graph.cand_src, graph.n_tx),
+        }
+        graph.__dict__["_edge_groups_cache"] = eg
+    return eg
+
+
+def _tile_edges(graph: HostGraph, spec: TileSpec):
+    """Tile-local edge lists ``(tt_s, tt_d, sg_s, sg_d, ca_s, ca_d)``
+    (indices into the tile's sorted ``tx_rows``/``bd_rows``).
+
+    Candidate rows come from the per-graph :class:`_EdgeGroups` index
+    (one key endpoint already in the tile), then the other endpoint is
+    membership-tested — cost O(N_tile + E_tile).  Cached on the spec:
+    ``tile_bucket`` and ``extract_tile`` both need them, and per-epoch
+    re-planning revisits every spec."""
+    cached = getattr(spec, "_edges", None)
+    if cached is not None:
+        return cached
+    eg = _edge_groups(graph)
     tx_map = np.full(graph.n_tx, -1, np.int64)
     tx_map[spec.tx_rows] = np.arange(spec.tx_rows.size)
     bd_map = np.full(graph.n_bd, -1, np.int64)
     bd_map[spec.bd_rows] = np.arange(spec.bd_rows.size)
 
-    tt_s, tt_d = _subselect_edges(graph.tt_src, graph.tt_dst, tx_map)
-    sg_s, sg_d = _subselect_edges(graph.sg_src, graph.sg_dst, tx_map, bd_map)
-    ca_s, ca_d = _subselect_edges(
-        graph.cand_src, graph.cand_dst, tx_map, bd_map
-    )
+    def sel(rows_idx, src, dst, smap, dmap):
+        s = smap[src[rows_idx]]
+        d = dmap[dst[rows_idx]]
+        keep = (s >= 0) & (d >= 0)
+        return s[keep], d[keep]
+
+    tt_s, tt_d = sel(eg["tt"].rows(spec.tx_rows),
+                     graph.tt_src, graph.tt_dst, tx_map, tx_map)
+    sg_s, sg_d = sel(eg["sg"].rows(spec.bd_rows),
+                     graph.sg_src, graph.sg_dst, tx_map, bd_map)
+    ca_s, ca_d = sel(eg["cand"].rows(spec.tx_rows),
+                     graph.cand_src, graph.cand_dst, tx_map, bd_map)
+    edges = (tt_s, tt_d, sg_s, sg_d, ca_s, ca_d)
+    spec._edges = edges
+    return edges
+
+
+def tile_bucket(
+    graph: HostGraph, spec: TileSpec,
+    round_tx: int = 256, round_bd: int = 64,
+) -> BucketShape:
+    """Compute the padded bucket shape for a tile (degrees rounded so few
+    distinct shapes occur -> few XLA compilations).  Degree statistics
+    are label-invariant, so the (unpermuted) cached tile edge lists
+    serve directly."""
+    tt_s, tt_d, sg_s, sg_d, ca_s, ca_d = _tile_edges(graph, spec)
     deg = lambda d, n: int(np.bincount(d, minlength=max(n, 1)).max()) if d.size else 1
 
     # degree-bucketing stats for the tt edge stage: rows with in-degree
@@ -339,6 +441,10 @@ def extract_tile(
 
     Valid nodes occupy the leading rows (packing invariant of
     :class:`TileGraph`) in strip-major locality order."""
+    # tile-local edges in the ORIGINAL (sorted-rows) labeling, from the
+    # per-spec cache (O(E_tile); shared with tile_bucket)
+    tt_s0, tt_d0, sg_s0, sg_d0, ca_s0, ca_d0 = _tile_edges(graph, spec)
+
     perm = _strip_major_order(graph.tx_pos[spec.tx_rows])
     spec = TileSpec(
         tx_rows=spec.tx_rows[perm],
@@ -350,20 +456,16 @@ def extract_tile(
     ntx, nbd = spec.tx_rows.size, spec.bd_rows.size
     assert ntx <= bucket.n_tx and nbd <= bucket.n_bd
 
-    tx_map = np.full(graph.n_tx, -1, np.int64)
-    tx_map[spec.tx_rows] = np.arange(ntx)
-    bd_map = np.full(graph.n_bd, -1, np.int64)
-    bd_map[spec.bd_rows] = np.arange(nbd)
-
     def padn(a, n, fill=0):
         pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
         return np.pad(a, pad, constant_values=fill)
 
-    tt_s, tt_d = _subselect_edges(graph.tt_src, graph.tt_dst, tx_map)
-    sg_s, sg_d = _subselect_edges(graph.sg_src, graph.sg_dst, tx_map, bd_map)
-    ca_s, ca_d = _subselect_edges(
-        graph.cand_src, graph.cand_dst, tx_map, bd_map
-    )
+    # relabel tx endpoints into the strip-major order: new = inv[old]
+    inv = np.empty(max(ntx, 1), np.int64)
+    inv[perm] = np.arange(ntx)
+    tt_s, tt_d = inv[tt_s0], inv[tt_d0]
+    sg_s, sg_d = inv[sg_s0], sg_d0
+    ca_s, ca_d = inv[ca_s0], ca_d0
 
     tt = coo_to_padded_csr(tt_d, tt_s, n_dst=bucket.n_tx, k=bucket.k_tt)
     tb = coo_to_padded_csr(sg_d, sg_s, n_dst=bucket.n_bd, k=bucket.k_tb)
