@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--tx-per-shard", type=int, default=20_000)
     ap.add_argument("--mesh-sizes", type=int, nargs="+",
                     default=[1, 2, 4, 8])
+    ap.add_argument("--grid", action="store_true",
+                    help="use the 2-D (D/2 x 2) grid decomposition "
+                         "instead of 1-D strips for D >= 4")
     args = ap.parse_args()
 
     import os
@@ -72,9 +75,21 @@ def main():
         ).load()
         g = pipe.graph
 
-        mesh = make_mesh(n_dev)
-        stacked, halo, dropped = build_sharded_graph(g, n_dev)
-        sharding = NamedSharding(mesh, P("data"))
+        use_grid = args.grid and n_dev >= 4 and n_dev % 2 == 0
+        if use_grid:
+            from segger_tpu.parallel.grid import (
+                build_grid_sharded_graph, make_grid_mesh,
+                make_grid_predict,
+            )
+
+            dx, dy = n_dev // 2, 2
+            mesh = make_grid_mesh(dx, dy)
+            stacked, halo, dropped = build_grid_sharded_graph(g, dx, dy)
+            sharding = NamedSharding(mesh, P(("x", "y")))
+        else:
+            mesh = make_mesh(n_dev)
+            stacked, halo, dropped = build_sharded_graph(g, n_dev)
+            sharding = NamedSharding(mesh, P("data"))
         put = lambda t: jax.tree.map(
             lambda x: jax.device_put(jnp.asarray(x), sharding), t
         )
@@ -89,7 +104,10 @@ def main():
             jax.random.PRNGKey(0),
             jax.tree.map(lambda x: jnp.asarray(x[0]), stacked),
         )
-        fn = make_sharded_predict(model, params, mesh)
+        fn = (
+            make_grid_predict(model, params, mesh)
+            if use_grid else make_sharded_predict(model, params, mesh)
+        )
         out = fn(stacked_d, halo_d)
         jax.block_until_ready(out)
 
