@@ -121,3 +121,65 @@ def test_harmonic_k_reference_semantics(rng):
     assert set(packed.tolist()) == {0, 3}
     with pytest.raises(ValueError):
         harmonic_k(np.array([5.0]), 100.0, k=1)
+
+
+def test_edge_groups_matches_naive_subselect(rng):
+    """The O(E_tile) edge-index path must select exactly the same edge
+    set (as a multiset of (src, dst) local pairs) as the naive
+    O(E_graph) scan it replaced."""
+    from segger_tpu.data.partition import (
+        _EdgeGroups, _subselect_edges,
+    )
+
+    n = 500
+    e = 4000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rows_in = np.sort(rng.choice(n, 120, replace=False))
+    node_map = np.full(n, -1, np.int64)
+    node_map[rows_in] = np.arange(rows_in.size)
+
+    want_s, want_d = _subselect_edges(src, dst, node_map)
+
+    eg = _EdgeGroups(dst, n)
+    r = eg.rows(rows_in)
+    s = node_map[src[r]]
+    d = node_map[dst[r]]
+    keep = (s >= 0) & (d >= 0)
+    got = set(zip(s[keep].tolist(), d[keep].tolist()))
+    want = set(zip(want_s.tolist(), want_d.tolist()))
+    assert got == want
+    # multiset sizes agree too (duplicates preserved)
+    assert keep.sum() == want_s.size
+
+
+def test_tile_edges_cached_on_spec(rng):
+    """_tile_edges caches per spec and equals the naive selection."""
+    from segger_tpu.data.synthetic import make_synthetic
+    from segger_tpu.pipeline import ISTPipeline, PipelineConfig
+    from segger_tpu.data.partition import (
+        make_fit_tiles, build_tiling, _tile_edges, _subselect_edges,
+    )
+
+    s = make_synthetic(n_cells=80, n_genes=20, mean_tx_per_cell=12,
+                       seed=9)
+    cfg = PipelineConfig(
+        cells_embedding_size=8, genes_min_counts=5, cells_min_counts=3,
+        prediction_graph_mode="uniform",
+    )
+    p = ISTPipeline(s.transcripts, s.boundaries, s.polygons, cfg).load()
+    g = p.graph
+    tiles = make_fit_tiles(g, build_tiling(g, nodes_per_tile=400),
+                           margin=5.0)
+    spec = tiles[0]
+    tt_s, tt_d, *_ = _tile_edges(g, spec)
+    assert getattr(spec, "_edges", None) is not None
+    # same object back on the second call (cache hit)
+    assert _tile_edges(g, spec)[0] is tt_s
+
+    tx_map = np.full(g.n_tx, -1, np.int64)
+    tx_map[spec.tx_rows] = np.arange(spec.tx_rows.size)
+    want_s, want_d = _subselect_edges(g.tt_src, g.tt_dst, tx_map)
+    assert set(zip(tt_s.tolist(), tt_d.tolist())) == set(
+        zip(want_s.tolist(), want_d.tolist())
+    )
