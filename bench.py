@@ -17,13 +17,13 @@ The host fetch forces completion; the measured per-chain round-trip
 floor (a trivial chain of the same length) is subtracted so the number
 is device time, not tunnel latency.
 
-Graph realism: tx positions and the tt kNN graph are a real spatial
-kNN (uniform point density at Xenium scale), so the hot tx->tx loop's
-locality is representative.  Boundary positions and candidate edges
-are drawn uniformly at random, NOT spatially — tb/cand gather locality
-is therefore pessimistic vs a real slide (candidates there are the
-spatially-nearest cells).  The headline edges/s number is dominated by
-the tt stage and is credible; treat tb/cand sub-timings as bounds.
+Graph realism: every edge set is spatial.  tx positions and the tt
+kNN graph are a real spatial kNN (uniform point density at Xenium
+scale) in the production strip-major row order (the same locality
+ordering extract_tile applies); boundary nodes sit on a jittered grid
+at Xenium-like cell pitch; supervision edges are nearest-cell
+assignments and candidate edges the 3 nearest cells per transcript —
+the same structure the host pipeline produces on a real slide.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": R}
@@ -46,15 +46,43 @@ def build_tile(n_tx=50_000, n_bd=2_500, n_genes=400, f_bd=128, seed=0):
 
     rng = np.random.default_rng(seed)
     pos = rng.uniform(0, 600, (n_tx, 2)).astype(np.float32)  # ~140 tx/100um^2
+
+    # Mirror the production tile path (data/partition.py::extract_tile):
+    # tx rows are strip-major locality ordered before graph assembly, so
+    # the tt neighbor-index band matches what extract_tile produces.
+    from segger_tpu.data.partition import _strip_major_order
+
+    pos = pos[_strip_major_order(pos)]
     src, dst = kdtree_neighbors(pos, max_k=5, max_dist=5.0)
 
-    bd_pos = rng.uniform(0, 600, (n_bd, 2)).astype(np.float32)
-    bd_of = rng.integers(0, n_bd, n_tx)
+    # Spatially realistic boundary layer: cells on a jittered grid
+    # (~12um pitch at these densities, Xenium-like) instead of uniform
+    # random draws, so tb/cand gather locality reflects a real slide.
+    g = int(np.ceil(np.sqrt(n_bd)))
+    gx, gy = np.meshgrid(np.arange(g), np.arange(g))
+    centers = np.stack([gx.ravel(), gy.ravel()], 1)[:n_bd]
+    pitch = 600.0 / g
+    bd_pos = (
+        centers * pitch + pitch / 2
+        + rng.normal(0, pitch / 6, (n_bd, 2))
+    ).astype(np.float32)
+
+    # Supervision: "nuclear" transcripts assigned to their nearest cell
+    # (reference semantics: vendor nucleus assignment, neighbors.py:183-197).
+    from scipy.spatial import cKDTree
+
+    bd_tree = cKDTree(bd_pos)
+    nn_bd = bd_tree.query(pos, k=1, workers=-1)[1]
     sg_sel = rng.uniform(size=n_tx) < 0.3
     sg_src = np.where(sg_sel)[0]
-    sg_dst = bd_of[sg_sel]
+    sg_dst = nn_bd[sg_sel]
+
+    # Candidates: 3 spatially nearest cells per transcript (the outcome
+    # of the reference's buffered-containment prediction graph,
+    # neighbors.py:200-238, for well-separated cells).
+    cand_dst = bd_tree.query(pos, k=3, workers=-1)[1]
     cand_src = np.repeat(np.arange(n_tx), 3)
-    cand_dst = rng.integers(0, n_bd, cand_src.size)
+    cand_dst = cand_dst.ravel()
 
     tile = TileGraph(
         tx_gene=rng.integers(0, n_genes, n_tx).astype(np.int32),
