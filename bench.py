@@ -202,6 +202,30 @@ def main():
 
     fwd_ms = _chained_ms(lambda: fwd_chain(params), N_FWD) - floor_fwd
 
+    # prediction step: forward + candidate cosine scoring + per-tx
+    # segment-max assignment (the reference's scatter_max hot op,
+    # lightning_model.py:275-284)
+    from segger_tpu.ops import csr_gather, csr_max
+
+    @jax.jit
+    def predict_chain(params):
+        def body(i, carry):
+            p, acc = carry
+            emb = model.apply(p, tile)
+            g = csr_gather(emb["bd"], tile.cand)
+            tx = emb["tx"]
+            num = jnp.einsum("nf,nkf->nk", tx, g)
+            ntx = jnp.sqrt(jnp.maximum(
+                (tx * tx).sum(-1, keepdims=True), 1e-16))
+            ng = jnp.sqrt(jnp.maximum((g * g).sum(-1), 1e-16))
+            max_sim, arg = csr_max(num / (ntx * ng), tile.cand)
+            acc2 = acc + max_sim.sum() + arg.sum() * 1e-9
+            return (jax.tree.map(lambda x: x + acc2 * 1e-25, p), acc2)
+
+        return jax.lax.fori_loop(0, N_FWD, body, (params, 0.0))[1]
+
+    predict_ms = _chained_ms(lambda: predict_chain(params), N_FWD) - floor_fwd
+
     # full training step (fwd + 3 losses + grads + adam)
     tx_sim = jnp.eye(20) * 2 - 1
     bd_sim = jnp.eye(12) * 2 - 1
@@ -283,6 +307,7 @@ def main():
         "vs_baseline": round(edges_per_sec / sol_edges_per_sec, 4),
         "detail": {
             "fwd_ms": round(fwd_ms, 3),
+            "predict_step_ms": round(predict_ms, 3),
             "train_step_ms": round(train_ms, 3),
             "round_trip_floor_ms": round(floor_fwd, 3),
             "train_edges_per_sec": round(
