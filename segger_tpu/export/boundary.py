@@ -26,6 +26,7 @@ array-first engine designed for whole-slide scale (10^5+ cells):
 """
 from __future__ import annotations
 
+import sys
 from collections import defaultdict
 from typing import Dict, List, Literal, Optional, Tuple
 
@@ -173,11 +174,15 @@ class EdgeTable:
         self.degree = np.bincount(verts.ravel(), minlength=n_pts)
 
         # d_max without a KDTree: the nearest neighbor of every point is
-        # one of its Delaunay edges.
+        # one of its Delaunay edges.  Duplicate/coincident input points
+        # are omitted from every simplex by scipy's Delaunay, leaving
+        # their nn slot at inf — exclude those so pruning thresholds
+        # stay finite (their true nn distance is 0 anyway).
         nn = np.full(n_pts, np.inf)
         np.minimum.at(nn, verts[:, 0], self.length)
         np.minimum.at(nn, verts[:, 1], self.length)
-        self.d_max = float(nn.max())
+        finite = nn[np.isfinite(nn)]
+        self.d_max = float(finite.max()) if finite.size else 0.0
 
     # --- pruning ----------------------------------------------------
     def _incidence(self):
@@ -371,9 +376,34 @@ def generate_boundaries(
                 (chunk_pts, chunk_bounds, method, smoothing,
                  connectivity)
             )
-        ctx = mp.get_context("fork")
+        # fork is cheapest, but fork-after-JAX/XLA-init is documented
+        # to deadlock child workers intermittently (and fork does not
+        # exist on Windows) — fall back to spawn in those cases.
+        start = "fork"
+        if "fork" not in mp.get_all_start_methods():
+            start = "spawn"
+        else:
+            jx = sys.modules.get("jax")
+            if jx is not None:
+                try:
+                    from jax._src import xla_bridge as _xb
+
+                    if getattr(_xb, "_backends", None):
+                        start = "spawn"
+                except Exception:
+                    start = "spawn"
+        ctx = mp.get_context(start)
         with ctx.Pool(workers) as pool:
-            chunk_polys = pool.map(_boundary_chunk, jobs)
+            results = pool.imap(_boundary_chunk, jobs)
+            if progress:
+                try:
+                    from tqdm import tqdm
+
+                    results = tqdm(results, total=len(jobs),
+                                   desc="Building cell boundaries")
+                except ImportError:
+                    pass
+            chunk_polys = list(results)
         polys = [p for chunk in chunk_polys for p in chunk]
     else:
         it = np.split(pts, bounds)

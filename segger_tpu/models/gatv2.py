@@ -120,6 +120,11 @@ class GATv2Conv(nn.Module):
             if backend == "pallas":
                 from ..ops.pallas import postgather
 
+                # Forced SEGGER_EDGE_STAGE=pallas on a non-TPU backend
+                # runs the kernels in interpret mode (Mosaic can only
+                # lower them on TPU); the counter-hash dropout stream is
+                # identical in both modes.
+                interp = jax.default_backend() != "tpu"
                 if dropout_on:
                     # (2,) seed: keep multipliers are generated inside
                     # the kernels (TPU PRNG) and regenerated in the
@@ -128,12 +133,12 @@ class GATv2Conv(nn.Module):
                     # keep streaming at bench scale)
                     rng = self.make_rng("dropout")
                     keep = postgather.prng_dropout_seed(rng)
-                    cfg = (h, self.negative_slope, False, self.dropout)
+                    cfg = (h, self.negative_slope, interp, self.dropout)
                 else:
                     # (1, 1, H) sentinel: the kernel skips the keep
                     # machinery entirely
                     keep = postgather.no_dropout_keep(h, xl.dtype)
-                    cfg = (h, self.negative_slope, False)
+                    cfg = (h, self.negative_slope, interp)
 
                 if split is not None and postgather.supported(csr, h * c, h):
                     n_lo, k_lo, csr_lo_t, csr_hi_t = split

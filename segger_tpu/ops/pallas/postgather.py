@@ -409,7 +409,9 @@ def _keep_mode(keep_mask) -> str:
     """
     if keep_mask.ndim == 1:
         return "prng"
-    return "nokeep" if keep_mask.shape[0] == 1 else "keep"
+    # the sentinel is exactly (1, 1, H); a real (N_dst, K, H) tensor
+    # with N_dst == 1 must still take the explicit-keep path
+    return "nokeep" if keep_mask.shape[:2] == (1, 1) else "keep"
 
 
 def no_dropout_keep(heads: int, dtype=jnp.float32):

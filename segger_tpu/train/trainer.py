@@ -353,12 +353,17 @@ class SeggerTrainer:
                 plans.append((specs[s : s + m], bucket))
         return plans
 
-    def _extract_cached(self, spec: TileSpec, bucket) -> TileGraph:
+    def _extract_cached(
+        self, spec: TileSpec, bucket, cache: bool = True
+    ) -> TileGraph:
         """extract_tile with an epoch-spanning cache.
 
         Keyed by (spec identity, bucket shape): under 'global' shape
         merge both are stable across epochs, so re-shuffled epochs
-        reuse the padded arrays and only restack."""
+        reuse the padded arrays and only restack.  ``cache=False``
+        (the predict path: every tile visited exactly once) still reads
+        hits but never inserts, so single-use extractions don't pin
+        host RAM for zero reuse."""
         if self.cfg.tile_cache_gb <= 0:
             return extract_tile(self.graph, spec, bucket)
         import dataclasses
@@ -368,6 +373,8 @@ class SeggerTrainer:
         if hit is not None:
             return hit[1]
         t = extract_tile(self.graph, spec, bucket)
+        if not cache:
+            return t
         nb = sum(
             a.nbytes for a in jax.tree.leaves(t) if hasattr(a, "nbytes")
         )
@@ -378,10 +385,10 @@ class SeggerTrainer:
             self._tile_cache_bytes += nb
         return t
 
-    def _build_batch(self, plan) -> TileGraph:
+    def _build_batch(self, plan, cache: bool = True) -> TileGraph:
         specs, bucket = plan
         f_bd = self.graph.bd_x.shape[1]
-        tgs = [self._extract_cached(s, bucket) for s in specs]
+        tgs = [self._extract_cached(s, bucket, cache) for s in specs]
         # round tile count to a multiple of tiles_per_step with empty
         # (all-masked) tiles
         while len(tgs) % self.cfg.tiles_per_step:
@@ -400,6 +407,7 @@ class SeggerTrainer:
         shuffle: bool,
         rng: Optional[np.random.Generator] = None,
         prefetch: int = 2,
+        cache: bool = True,
     ):
         """Stream stacked batches with background-thread extraction
         (overlaps host tile building with device compute — the
@@ -407,7 +415,9 @@ class SeggerTrainer:
         from .prefetch import PrefetchIterator
 
         plans = self._batch_plans(tiles, shuffle, rng)
-        return PrefetchIterator(plans, self._build_batch, depth=prefetch)
+        return PrefetchIterator(
+            plans, lambda p: self._build_batch(p, cache), depth=prefetch
+        )
 
     def make_batches(
         self,
@@ -617,7 +627,8 @@ class SeggerTrainer:
         transcripts (reference: lightning_model.py:263-298)."""
         if self._predict_step is None:
             self._predict_step = self._build_predict_step()
-        batches = self.iter_batches(predict_tiles, shuffle=False)
+        batches = self.iter_batches(predict_tiles, shuffle=False,
+                                    cache=False)
         out = {k: [] for k in ("row_index", "cell_encoding",
                                "similarity", "gene")}
         for batch in batches:

@@ -169,3 +169,18 @@ def test_edge_table_structure(rng):
 
     d, _ = cKDTree(pts).query(pts, k=2)
     assert np.isclose(et.d_max, d[:, 1].max())
+
+
+def test_duplicate_coordinates_keep_d_max_finite(rng):
+    """Pixel-quantized data routinely contains coincident transcripts;
+    scipy's Delaunay drops duplicates from every simplex, which must not
+    blow d_max to inf (that would disable all length-based pruning)."""
+    pts = _blob(rng, n=50)
+    dup = np.concatenate([pts, pts[:3]])  # 3 coincident duplicates
+    et = EdgeTable(dup)
+    assert np.isfinite(et.d_max) and et.d_max > 0
+    # same outline as the deduplicated cloud
+    ring_dup = cell_boundary(dup, method="delaunay")
+    ring = cell_boundary(pts, method="delaunay")
+    assert ring_dup is not None and ring is not None
+    assert abs(_ring_area(ring_dup) - _ring_area(ring)) < 1e-9

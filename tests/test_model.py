@@ -212,3 +212,46 @@ def test_capture_attention_on_fused_path(rng):
         rows = a.sum(axis=1)
         ok = np.isclose(rows, 1.0, atol=1e-5) | np.isclose(rows, 0.0)
         assert ok.all()
+
+
+def test_forced_pallas_backend_on_cpu_interprets(rng, monkeypatch):
+    """SEGGER_EDGE_STAGE=pallas on a non-TPU backend must run the
+    kernels in interpret mode (not attempt a Mosaic lowering) and match
+    the XLA flat path."""
+    from segger_tpu.ops import transpose_csr
+
+    tile = make_tile(rng)
+    tile = tile.replace(
+        tt_t=jax.tree.map(
+            jnp.asarray, transpose_csr(jax.tree.map(np.asarray, tile.tt),
+                                       n_src=60)
+        ),
+        tb_t=jax.tree.map(
+            jnp.asarray, transpose_csr(jax.tree.map(np.asarray, tile.tb),
+                                       n_src=60)
+        ),
+    )
+    model = ISTEncoder(
+        n_genes=12, in_channels=8, hidden_channels=8, out_channels=8,
+        n_mid_layers=1, n_heads=2,
+    )
+    params = model.init(jax.random.PRNGKey(0), tile)
+    monkeypatch.setenv("SEGGER_EDGE_STAGE", "xla")
+    ref = model.apply(params, tile)
+    monkeypatch.setenv("SEGGER_EDGE_STAGE", "pallas")
+    from segger_tpu.ops.pallas import postgather
+
+    calls = []
+    real = postgather.gatv2_edge_stage_pallas
+
+    def counting(*a, **kw):
+        calls.append(a[-1])  # config tuple; [2] is interpret
+        return real(*a, **kw)
+
+    monkeypatch.setattr(postgather, "gatv2_edge_stage_pallas", counting)
+    out = model.apply(params, tile)
+    assert calls and all(cfg[2] is True for cfg in calls)
+    np.testing.assert_allclose(
+        np.asarray(out["tx"]), np.asarray(ref["tx"]),
+        rtol=2e-4, atol=2e-5,
+    )

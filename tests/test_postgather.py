@@ -253,3 +253,44 @@ def test_prng_mode_grads_match_fd(rng):
                   ) / (2 * eps)
             got = float(np.asarray(g).ravel()[i])
             np.testing.assert_allclose(got, fd, rtol=2e-2, atol=2e-3)
+
+
+def test_keep_mode_single_destination_explicit_keep():
+    """A real (1, K, H) explicit-keep tensor (single-destination graph)
+    must NOT be mistaken for the (1, 1, H) no-dropout sentinel."""
+    assert postgather._keep_mode(jnp.ones((1, 1, 2))) == "nokeep"
+    assert postgather._keep_mode(jnp.ones((1, 8, 2))) == "keep"
+    assert postgather._keep_mode(jnp.ones((16, 8, 2))) == "keep"
+    assert postgather._keep_mode(jnp.zeros((2,))) == "prng"
+
+
+def test_single_destination_dropout_not_ignored(rng):
+    """Forward with explicit keep multipliers on an N_dst == 1 graph
+    must apply them (regression: shape[0]==1 sentinel misdispatch)."""
+    heads, ch = 2, 64
+    hc = heads * ch
+    n_src, k = 32, 8
+    src = rng.integers(0, n_src, 6)
+    dst = np.zeros(6, np.int64)
+    csr = coo_to_padded_csr(dst, src, n_dst=1, k=k)
+    csr_t = transpose_csr(csr, n_src=n_src)
+    csr = jax.tree.map(jnp.asarray, csr)
+    csr_t = jax.tree.map(jnp.asarray, csr_t)
+    xl = jnp.asarray(rng.normal(size=(n_src, hc)), jnp.float32)
+    xr = jnp.asarray(rng.normal(size=(1, hc)), jnp.float32)
+    att = jnp.asarray(rng.normal(size=(heads, ch)), jnp.float32)
+    keep = jnp.asarray(
+        rng.uniform(0.2, 1.8, (1, k, heads)), jnp.float32
+    )
+    ref = gatv2_edge_stage_flat(xl, xr, att, keep, csr, csr_t,
+                                (heads, 0.2))
+    out = postgather.gatv2_edge_stage_pallas(
+        xl, xr, att, keep, csr, csr_t, (heads, 0.2, True)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    # and it differs from the no-dropout result
+    ones = postgather.gatv2_edge_stage_pallas(
+        xl, xr, att, postgather.no_dropout_keep(heads), csr, csr_t,
+        (heads, 0.2, True),
+    )
+    assert not np.allclose(out, ones)

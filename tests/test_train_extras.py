@@ -140,3 +140,27 @@ def test_stage_timer():
     assert s["work"]["calls"] == 1
     assert s["work"]["seconds"] >= 0.01
     assert s["work"]["rate"] > 0
+
+
+def test_predict_path_does_not_populate_tile_cache(small_pipeline):
+    """Predict tiles are visited exactly once; their extractions must
+    not be retained in the epoch-spanning cache (review r2: single-use
+    entries pinned up to tile_cache_gb of host RAM)."""
+    from segger_tpu.data.partition import make_predict_tiles
+
+    tr = SeggerTrainer(
+        small_pipeline.graph,
+        TrainConfig(hidden_channels=8, out_channels=8, n_mid_layers=0,
+                    n_heads=1, max_epochs=1, seed=0),
+    )
+    fit_tiles = make_fit_tiles(small_pipeline.graph,
+                               small_pipeline.tree, margin=8.0)
+    tr.fit(fit_tiles, max_epochs=1)
+    bytes_after_fit = tr._tile_cache_bytes
+    n_after_fit = len(tr._tile_cache)
+    pred_tiles = make_predict_tiles(small_pipeline.graph,
+                                    small_pipeline.tree, margin=8.0)
+    out = tr.predict(pred_tiles)
+    assert out["row_index"].size > 0
+    assert tr._tile_cache_bytes == bytes_after_fit
+    assert len(tr._tile_cache) == n_after_fit

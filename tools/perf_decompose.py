@@ -51,7 +51,7 @@ def main():
             out = model.apply(p, tile)
             acc2 = acc + out["tx"].sum() + out["bd"].sum()
             return (jax.tree.map(lambda x: x + acc2 * 1e-25, p), acc2)
-        return jax.lax.fori_loop(0, N, body, (params, 0.0))[1]
+        return jax.lax.fori_loop(0, N, body, (p, 0.0))[1]
 
     @jax.jit
     def fwdbwd_chain(p):
@@ -65,7 +65,7 @@ def main():
             v, g = jax.value_and_grad(loss)(p)
             return (jax.tree.map(lambda x, d: x + d * 1e-25, p, g),
                     acc + v)
-        return jax.lax.fori_loop(0, N, body, (params, 0.0))[1]
+        return jax.lax.fori_loop(0, N, body, (p, 0.0))[1]
 
     tx_sim = jnp.eye(20) * 2 - 1
     bd_sim = jnp.eye(12) * 2 - 1
