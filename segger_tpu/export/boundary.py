@@ -312,6 +312,18 @@ def cell_boundary(
     return poly
 
 
+def _progress(it, total: int, enabled: bool):
+    """Wrap an iterable in a tqdm bar when enabled (and available)."""
+    if enabled:
+        try:
+            from tqdm import tqdm
+
+            return tqdm(it, total=total, desc="Building cell boundaries")
+        except ImportError:
+            pass
+    return it
+
+
 def _boundary_chunk(args):
     """Worker: outline every cell in one chunk of stacked points."""
     pts, bounds, method, smoothing, connectivity = args
@@ -385,35 +397,27 @@ def generate_boundaries(
         else:
             jx = sys.modules.get("jax")
             if jx is not None:
+                # fork is kept only when we can positively confirm no
+                # XLA backend is live in this process; any doubt
+                # (missing private attr, import failure) falls back to
+                # spawn — the failure mode of a wrong 'fork' is an
+                # intermittent child deadlock.
                 try:
                     from jax._src import xla_bridge as _xb
 
-                    if getattr(_xb, "_backends", None):
+                    backends = getattr(_xb, "_backends", None)
+                    if backends is None or backends:
                         start = "spawn"
                 except Exception:
                     start = "spawn"
         ctx = mp.get_context(start)
         with ctx.Pool(workers) as pool:
-            results = pool.imap(_boundary_chunk, jobs)
-            if progress:
-                try:
-                    from tqdm import tqdm
-
-                    results = tqdm(results, total=len(jobs),
-                                   desc="Building cell boundaries")
-                except ImportError:
-                    pass
-            chunk_polys = list(results)
+            chunk_polys = list(_progress(
+                pool.imap(_boundary_chunk, jobs), len(jobs), progress,
+            ))
         polys = [p for chunk in chunk_polys for p in chunk]
     else:
-        it = np.split(pts, bounds)
-        if progress:
-            try:
-                from tqdm import tqdm
-
-                it = tqdm(it, desc="Building cell boundaries")
-            except ImportError:
-                pass
+        it = _progress(np.split(pts, bounds), n_cells, progress)
         polys = [
             cell_boundary(g, method=method, smoothing=smoothing,
                           connectivity=connectivity)

@@ -387,7 +387,7 @@ def gatv2_edge_stage_pallas(
     xl : (N_src, HC); xr : (N_dst, HC); att : (H, C)
     keep_mask : one of (see _keep_mode)
         (N_dst, K, H) explicit dropout multipliers;
-        (1, 1, H)     no-dropout sentinel (no_dropout_keep);
+        (0, 0, H)     no-dropout sentinel (no_dropout_keep);
         (2,) float32  PRNG seed (prng_dropout_seed) — keep multipliers
                       generated inside the kernels, rate from config.
     config : (heads, negative_slope, interpret[, dropout_rate]) — static;
@@ -403,20 +403,22 @@ def _keep_mode(keep_mask) -> str:
     'prng'   — a (2,) float32 seed (bitcast uint32 key data; see
                prng_dropout_seed): keep multipliers are generated
                inside the kernels, config carries the rate.
-    'nokeep' — the (1, 1, H) no-dropout sentinel (no_dropout_keep).
+    'nokeep' — the (0, 0, H) no-dropout sentinel (no_dropout_keep).
     'keep'   — a real (N, K, H) multiplier tensor (the pre-PRNG path;
                kept for callers that supply explicit masks).
     """
     if keep_mask.ndim == 1:
         return "prng"
-    # the sentinel is exactly (1, 1, H); a real (N_dst, K, H) tensor
-    # with N_dst == 1 must still take the explicit-keep path
-    return "nokeep" if keep_mask.shape[:2] == (1, 1) else "keep"
+    # the sentinel is empty, so it can never collide with a real
+    # (N_dst, K, H) multiplier tensor (N_dst, K >= 1 always)
+    return "nokeep" if keep_mask.shape[0] == 0 else "keep"
 
 
 def no_dropout_keep(heads: int, dtype=jnp.float32):
-    """Sentinel keep_mask for deterministic calls: shape (1, 1, H)."""
-    return jnp.ones((1, 1, heads), dtype)
+    """Sentinel keep_mask for deterministic calls: empty (0, 0, H) —
+    unambiguous vs any real multiplier tensor.  Never enters a kernel;
+    its custom_vjp cotangent is an empty zeros array."""
+    return jnp.ones((0, 0, heads), dtype)
 
 
 def prng_dropout_seed(rng) -> jnp.ndarray:

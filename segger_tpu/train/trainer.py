@@ -424,10 +424,15 @@ class SeggerTrainer:
         tiles: Sequence[TileSpec],
         shuffle: bool,
         rng: Optional[np.random.Generator] = None,
+        cache: bool = False,
     ) -> List[TileGraph]:
-        """Eagerly materialize all batches (small runs / templates)."""
+        """Eagerly materialize all batches (small runs / templates).
+
+        Eager batches are held by the caller and reused directly, so
+        inserting their extractions into the epoch-spanning tile cache
+        would pin host RAM for zero reuse — ``cache`` defaults off."""
         return [
-            self._build_batch(p)
+            self._build_batch(p, cache)
             for p in self._batch_plans(tiles, shuffle, rng)
         ]
 

@@ -258,7 +258,9 @@ def test_prng_mode_grads_match_fd(rng):
 def test_keep_mode_single_destination_explicit_keep():
     """A real (1, K, H) explicit-keep tensor (single-destination graph)
     must NOT be mistaken for the (1, 1, H) no-dropout sentinel."""
-    assert postgather._keep_mode(jnp.ones((1, 1, 2))) == "nokeep"
+    assert postgather._keep_mode(postgather.no_dropout_keep(2)) \
+        == "nokeep"
+    assert postgather._keep_mode(jnp.ones((1, 1, 2))) == "keep"
     assert postgather._keep_mode(jnp.ones((1, 8, 2))) == "keep"
     assert postgather._keep_mode(jnp.ones((16, 8, 2))) == "keep"
     assert postgather._keep_mode(jnp.zeros((2,))) == "prng"
