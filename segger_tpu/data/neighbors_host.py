@@ -138,7 +138,7 @@ def prediction_graph(
         areas = (
             polygon_areas
             if polygon_areas is not None
-            else np.array([_polygon_area(p) for p in polygons])
+            else polygon_areas_batch(polygons)
         )
         buffers = np.sqrt(np.maximum(areas, 0) / np.pi) * buffer_ratio
         tx_idx, poly_idx = points_in_polygons(
@@ -153,3 +153,26 @@ def _polygon_area(poly: np.ndarray) -> float:
     return 0.5 * abs(
         np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
     )
+
+
+def polygon_areas_batch(polygons) -> np.ndarray:
+    """Shoelace areas for a ragged list of (nv, 2) vertex arrays in one
+    vectorized pass (a per-polygon Python loop costs seconds per 100k
+    cells at whole-slide scale)."""
+    n = len(polygons)
+    if n == 0:
+        return np.zeros(0)
+    counts = np.fromiter((len(p) for p in polygons), np.int64, count=n)
+    v = np.concatenate(
+        [np.asarray(p, np.float64).reshape(-1, 2) for p in polygons]
+    )
+    if v.shape[0] == 0:
+        return np.zeros(n)
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    # next vertex within each ring: roll each segment by -1
+    nxt = np.arange(1, v.shape[0] + 1)
+    nxt[starts[1:] - 1] = starts[:-1]
+    cross = v[:, 0] * v[nxt, 1] - v[:, 1] * v[nxt, 0]
+    sums = np.add.reduceat(cross, starts[:-1])
+    sums[counts == 0] = 0.0
+    return 0.5 * np.abs(sums)

@@ -48,6 +48,14 @@ def make_synthetic(
     nucleus_ratio: float = 0.55,
     seed: int = 0,
 ) -> SyntheticData:
+    """Ground-truth synthetic IST slide.
+
+    NOTE: ``extent`` does not scale with ``n_cells`` — for
+    constant-density slides (realistic overlap, the regime every scale
+    example uses) pass ``extent=400*sqrt(n_cells/200)``.  Leaving the
+    default at large ``n_cells`` packs fixed-radius cells ever denser
+    and the buffered-containment candidate graph degenerates to
+    ~all-pairs."""
     rng = np.random.default_rng(seed)
     tx_f = StandardTranscriptFields()
     bd_f = StandardBoundaryFields()

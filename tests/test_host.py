@@ -145,3 +145,24 @@ def test_anndata_from_transcripts_counts(rng):
     # centroids
     c1 = ad.obsm["X_spatial"][list(ad.obs.index).index("c1")]
     np.testing.assert_allclose(c1, [1.0, 1.0])
+
+
+def test_polygon_areas_batch_matches_loop(rng):
+    from segger_tpu.data.neighbors_host import (
+        _polygon_area,
+        polygon_areas_batch,
+    )
+
+    polys = []
+    for _ in range(200):
+        nv = int(rng.integers(3, 24))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        r = rng.uniform(2, 9)
+        polys.append(
+            np.column_stack([r * np.cos(ang), r * np.sin(ang)])
+            + rng.uniform(0, 50, 2)
+        )
+    ref = np.array([_polygon_area(p) for p in polys])
+    np.testing.assert_allclose(polygon_areas_batch(polys), ref,
+                               rtol=1e-9)
+    assert polygon_areas_batch([]).shape == (0,)
