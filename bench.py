@@ -205,21 +205,17 @@ def main():
     # prediction step: forward + candidate cosine scoring + per-tx
     # segment-max assignment (the reference's scatter_max hot op,
     # lightning_model.py:275-284)
-    from segger_tpu.ops import csr_gather, csr_max
+    from segger_tpu.ops import score_candidates
 
     @jax.jit
     def predict_chain(params):
         def body(i, carry):
             p, acc = carry
             emb = model.apply(p, tile)
-            g = csr_gather(emb["bd"], tile.cand)
-            tx = emb["tx"]
-            num = jnp.einsum("nf,nkf->nk", tx, g)
-            ntx = jnp.sqrt(jnp.maximum(
-                (tx * tx).sum(-1, keepdims=True), 1e-16))
-            ng = jnp.sqrt(jnp.maximum((g * g).sum(-1), 1e-16))
-            max_sim, arg = csr_max(num / (ntx * ng), tile.cand)
-            acc2 = acc + max_sim.sum() + arg.sum() * 1e-9
+            max_sim, seg = score_candidates(
+                emb["tx"], emb["bd"], tile.cand, tile.bd_index
+            )
+            acc2 = acc + max_sim.sum() + seg.sum() * 1e-9
             return (jax.tree.map(lambda x: x + acc2 * 1e-25, p), acc2)
 
         return jax.lax.fori_loop(0, N_FWD, body, (params, 0.0))[1]

@@ -105,16 +105,16 @@ def main():
             jax.tree.map(lambda x: jnp.asarray(x[0]), stacked),
         )
         fn = (
-            make_grid_predict(model, params, mesh)
-            if use_grid else make_sharded_predict(model, params, mesh)
+            make_grid_predict(model, mesh)
+            if use_grid else make_sharded_predict(model, mesh)
         )
-        out = fn(stacked_d, halo_d)
+        out = fn(params, stacked_d, halo_d)
         jax.block_until_ready(out)
 
         iters = 5
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(stacked_d, halo_d)
+            out = fn(params, stacked_d, halo_d)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
 

@@ -12,6 +12,7 @@ from .gather_agg import (
     csr_sddmm,
     csr_softmax,
     csr_max,
+    score_candidates,
     segment_sum,
     segment_max,
     segment_softmax,
@@ -29,6 +30,7 @@ __all__ = [
     "csr_sddmm",
     "csr_softmax",
     "csr_max",
+    "score_candidates",
     "segment_sum",
     "segment_max",
     "segment_softmax",

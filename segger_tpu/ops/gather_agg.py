@@ -200,6 +200,36 @@ def segment_sum(data, segment_ids, num_segments):
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
 
 
+def score_candidates(
+    emb_tx: jnp.ndarray,
+    bd_feats: jnp.ndarray,
+    cand: PaddedCSR,
+    bd_index: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Cosine-score tx->bd candidate edges and take the per-transcript
+    argmax assignment — the reference's predict_step similarity +
+    scatter_max (src/segger/models/lightning_model.py:275-293).
+
+    ``bd_feats`` may be local or halo-extended bd embeddings (``cand``
+    indexes into whichever space it was built for); ``bd_index`` maps
+    those rows to global cell encodings (-1 padding allowed).
+
+    Returns (max_sim, cell_encoding int32) with -1 for transcripts that
+    have no candidates.  Shared by tiled prediction, the 1-D halo and
+    2-D grid sharded predict paths, and bench.py — assignment semantics
+    live in exactly one place.
+    """
+    g = csr_gather(bd_feats, cand)
+    num = jnp.einsum("nf,nkf->nk", emb_tx, g)
+    ntx = jnp.sqrt(
+        jnp.maximum((emb_tx * emb_tx).sum(-1, keepdims=True), 1e-16)
+    )
+    ng = jnp.sqrt(jnp.maximum((g * g).sum(-1), 1e-16))
+    max_sim, arg = csr_max(num / (ntx * ng), cand)
+    seg = jnp.where(arg >= 0, bd_index[arg], -1)
+    return max_sim, seg.astype(jnp.int32)
+
+
 def segment_max(data, segment_ids, num_segments):
     return jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
 

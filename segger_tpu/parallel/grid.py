@@ -548,13 +548,22 @@ def make_grid_mesh(dx: int, dy: int, devices=None) -> Mesh:
     )
 
 
-def make_grid_predict(model, params, mesh: Mesh,
+_GRID_PREDICT_FN_CACHE: dict = {}
+
+
+def make_grid_predict(model, mesh: Mesh,
                       ax: str = "x", ay: str = "y"):
     """Jitted shard_map whole-slide predict over the 2-D grid; mirrors
-    halo.py::make_sharded_predict with the two-stage exchange."""
+    halo.py::make_sharded_predict (params as a replicated runtime
+    argument, per-(model, mesh) jit cache) with the two-stage
+    exchange."""
+    key = (model, mesh, ax, ay)
+    hit = _GRID_PREDICT_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
     dx, dy = mesh.shape[ax], mesh.shape[ay]
 
-    def device_fn(tile: TileGraph, halo: GridHaloSpec):
+    def device_fn(params, tile: TileGraph, halo: GridHaloSpec):
         tile = jax.tree.map(lambda x: x[0], tile)
         halo = jax.tree.map(lambda x: x[0], halo)
         ex_tx = _tx_exchange(halo, ax, ay, dx, dy)
@@ -562,39 +571,31 @@ def make_grid_predict(model, params, mesh: Mesh,
 
         emb = model.apply(
             params, tile, deterministic=True,
-            exchange=lambda x_tx, x_bd: (ex_tx(x_tx), ex_bd(x_bd)),
+            exchange=lambda x_tx, x_bd: (ex_tx(x_tx), None),
             pos_prenormalized=True,
         )
         x_bd_ext = jnp.concatenate(ex_bd(emb["bd"]), axis=0)
-        from ..ops import csr_gather, csr_max
+        from ..ops import score_candidates
 
-        g = csr_gather(x_bd_ext, tile.cand)
-        tx = emb["tx"]
-        num = jnp.einsum("nf,nkf->nk", tx, g)
-        ntx = jnp.sqrt(
-            jnp.maximum((tx * tx).sum(-1, keepdims=True), 1e-16)
+        max_sim, seg = score_candidates(
+            emb["tx"], x_bd_ext, tile.cand, halo.bd_index_ext
         )
-        ng = jnp.sqrt(jnp.maximum((g * g).sum(-1), 1e-16))
-        sim = num / (ntx * ng)
-        max_sim, arg = csr_max(sim, tile.cand)
-        seg = jnp.where(arg >= 0, halo.bd_index_ext[arg], -1)
         return jax.tree.map(
             lambda x: x[None],
-            (
-                tile.tx_index, seg.astype(jnp.int32), max_sim,
-                tile.tx_gene, tile.tx_valid,
-            ),
+            (tile.tx_index, seg, max_sim, tile.tx_gene, tile.tx_valid),
         )
 
     spec = P((ax, ay))
     fn = jax.shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(spec, spec),
+        in_specs=(P(), spec, spec),
         out_specs=spec,
         check_vma=False,
     )
-    return jax.jit(fn)
+    fn = jax.jit(fn)
+    _GRID_PREDICT_FN_CACHE[key] = fn
+    return fn
 
 
 def make_grid_train_step(
@@ -625,7 +626,7 @@ def make_grid_train_step(
 
         emb = model.apply(
             params, tile, deterministic=False, rngs={"dropout": k_drop},
-            exchange=lambda x_tx, x_bd: (ex_tx(x_tx), ex_bd(x_bd)),
+            exchange=lambda x_tx, x_bd: (ex_tx(x_tx), None),
             pos_prenormalized=True,
         )
         tx_mask = tile.tx_valid & (tile.tx_cluster >= 0)
@@ -719,17 +720,13 @@ def grid_predict(
             "grid partition dropped %s far-shard edges (tt, sg, cand)",
             dropped.tolist(),
         )
+    from .halo import fetch_global, put_sharded
+
     sharding = NamedSharding(mesh, P((ax, ay)))
-    stacked = jax.tree.map(
-        lambda x: jax.device_put(jnp.asarray(x), sharding), stacked
-    )
-    halo = jax.tree.map(
-        lambda x: jax.device_put(jnp.asarray(x), sharding), halo
-    )
-    fn = make_grid_predict(model, params, mesh, ax, ay)
-    idx, seg, sim, gene, mask = jax.tree.map(
-        np.asarray, fn(stacked, halo)
-    )
+    stacked = put_sharded(stacked, sharding)
+    halo = put_sharded(halo, sharding)
+    fn = make_grid_predict(model, mesh, ax, ay)
+    idx, seg, sim, gene, mask = fetch_global(fn(params, stacked, halo))
     m = mask.ravel()
     return {
         "row_index": idx.ravel()[m],

@@ -82,11 +82,10 @@ def build_sharded_graph(
     (:func:`make_sharded_train_step`).
     """
     D = n_shards
-    tx_shard, _ = _strip_assign(graph.tx_pos[:, 0], D)
-    # bd follows its centroid
+    tx_shard, qs = _strip_assign(graph.tx_pos[:, 0], D)
+    # bd follows its centroid, against the same strip boundaries
     bd_shard = np.searchsorted(
-        np.quantile(graph.tx_pos[:, 0], np.linspace(0, 1, D + 1)[1:-1]),
-        graph.bd_pos[:, 0], side="right",
+        qs, graph.bd_pos[:, 0], side="right"
     ).astype(np.int64)
 
     # global [0,1] normalization for positional embeddings
@@ -109,11 +108,6 @@ def build_sharded_graph(
     # send sets: for every cross-shard edge, the src must be in the
     # owner's send list toward the consumer
     # ------------------------------------------------------------------
-    def cross(src, dst_shard_arr, src_shard_arr):
-        """Split edges by shard delta; returns dict delta -> edge mask."""
-        delta = dst_shard_arr - src_shard_arr
-        return delta
-
     dropped = np.zeros(3, dtype=np.int64)
 
     send_right_tx = [set() for _ in range(D)]  # owner d -> consumer d+1
@@ -121,35 +115,34 @@ def build_sharded_graph(
     send_right_bd = [set() for _ in range(D)]
     send_left_bd = [set() for _ in range(D)]
 
-    def note_tx(src, delta, which_drop):
-        for s, dl in zip(src, delta):
-            if dl == 0:
-                continue
-            owner = tx_shard[s]
-            if dl == 1:
-                send_right_tx[owner].add(s)
-            elif dl == -1:
-                send_left_tx[owner].add(s)
-            else:
-                dropped[which_drop] += 1
+    def note(src, delta, owner_shard, send_right, send_left,
+             which_drop):
+        """Vectorized: bucket cross-shard sources into the owner's send
+        sets (a per-edge Python loop costs minutes at 10M-transcript
+        scale; cross-shard edges are a tiny boundary fraction)."""
+        for dl, target in ((1, send_right), (-1, send_left)):
+            srcs = src[delta == dl]
+            owners = owner_shard[srcs]
+            order = np.argsort(owners, kind="stable")
+            so, oo = srcs[order], owners[order]
+            starts = np.searchsorted(oo, np.arange(D))
+            ends = np.searchsorted(oo, np.arange(D), side="right")
+            for d in range(D):
+                target[d].update(so[starts[d]:ends[d]].tolist())
+        dropped[which_drop] += int((np.abs(delta) > 1).sum())
 
     # tt edges: src tx, dst tx
-    note_tx(graph.tt_src, tx_shard[graph.tt_dst] - tx_shard[graph.tt_src], 0)
+    note(graph.tt_src,
+         tx_shard[graph.tt_dst] - tx_shard[graph.tt_src],
+         tx_shard, send_right_tx, send_left_tx, 0)
     # sg edges: src tx, dst bd
-    note_tx(graph.sg_src, bd_shard[graph.sg_dst] - tx_shard[graph.sg_src], 1)
+    note(graph.sg_src,
+         bd_shard[graph.sg_dst] - tx_shard[graph.sg_src],
+         tx_shard, send_right_tx, send_left_tx, 1)
     # cand edges: rows are tx (dst side of the table), idx entries are bd
-    for s, dl in zip(
-        graph.cand_dst, tx_shard[graph.cand_src] - bd_shard[graph.cand_dst]
-    ):
-        if dl == 0:
-            continue
-        owner = bd_shard[s]
-        if dl == 1:
-            send_right_bd[owner].add(s)
-        elif dl == -1:
-            send_left_bd[owner].add(s)
-        else:
-            dropped[2] += 1
+    note(graph.cand_dst,
+         tx_shard[graph.cand_src] - bd_shard[graph.cand_dst],
+         bd_shard, send_right_bd, send_left_bd, 2)
 
     H = _round_up(
         max(
@@ -211,46 +204,53 @@ def build_sharded_graph(
     # ------------------------------------------------------------------
     # per-shard CSR tables in extended index space
     # ------------------------------------------------------------------
+    def ext_many(src_global, d, src_shard_arr, src_local_map, ext_fn):
+        """Vectorized extended-index lookup: same-shard sources (the
+        overwhelming majority) resolve by local map; Python only runs
+        on the cross-shard boundary tail."""
+        out = np.empty(src_global.size, np.int64)
+        same = src_shard_arr[src_global] == d
+        out[same] = src_local_map[src_global[same]]
+        for i in np.where(~same)[0]:
+            out[i] = ext_fn(int(src_global[i]), d)
+        return out
+
+    from ..ops.padded_csr import coo_to_padded_csr
+
     def shard_csr(dst_rows_global, src_global, dst_shard_arr,
-                  dst_local_map, n_rows, ext_fn, k_round=4):
+                  dst_local_map, n_rows, src_shard_arr, src_local_map,
+                  ext_fn, k_round=4):
         """Build per-shard padded CSR: entries grouped by dst shard."""
         tables = []
         for d in range(D):
             sel = dst_shard_arr[dst_rows_global] == d
             dsts = dst_local_map[dst_rows_global[sel]]
-            srcs = [ext_fn(g, d) for g in src_global[sel]]
-            keep = np.array([s >= 0 for s in srcs], bool) if srcs else \
-                np.zeros(0, bool)
-            dsts = dsts[keep]
-            srcs = np.array(srcs, np.int64)[keep] if len(srcs) else \
-                np.zeros(0, np.int64)
-            from ..ops.padded_csr import coo_to_padded_csr
-
-            tables.append((dsts, srcs))
+            srcs = ext_many(src_global[sel], d, src_shard_arr,
+                            src_local_map, ext_fn)
+            keep = srcs >= 0
+            tables.append((dsts[keep], srcs[keep]))
         kmax = 1
-        from ..ops.padded_csr import coo_to_padded_csr
-
-        for dsts, srcs in tables:
+        for dsts, _ in tables:
             if dsts.size:
                 kmax = max(kmax, int(np.bincount(dsts).max()))
         kmax = _round_up(kmax, k_round)
-        out = [
+        return [
             coo_to_padded_csr(d_, s_, n_dst=n_rows, k=kmax)
             for d_, s_ in tables
         ]
-        return out
 
     tt_tables = shard_csr(
-        graph.tt_dst, graph.tt_src, tx_shard, tx_local, P_, ext_tx_index
+        graph.tt_dst, graph.tt_src, tx_shard, tx_local, P_,
+        tx_shard, tx_local, ext_tx_index,
     )
     tb_tables = shard_csr(
-        graph.sg_dst, graph.sg_src, bd_shard, bd_local, Q_, ext_tx_index,
-        k_round=8,
+        graph.sg_dst, graph.sg_src, bd_shard, bd_local, Q_,
+        tx_shard, tx_local, ext_tx_index, k_round=8,
     )
     # cand: rows tx (local), entries bd (extended)
     cand_tables = shard_csr(
         graph.cand_src, graph.cand_dst, tx_shard, tx_local, P_,
-        ext_bd_index,
+        bd_shard, bd_local, ext_bd_index,
     )
 
     # sg COO per shard (dst bd local, src tx extended)
@@ -300,9 +300,8 @@ def build_sharded_graph(
         txr, bdr = tx_rows[d], bd_rows[d]
         ntx, nbd = txr.size, bdr.size
         sel = bd_shard[graph.sg_dst] == d
-        sgs = np.array(
-            [ext_tx_index(g, d) for g in graph.sg_src[sel]], np.int64
-        ) if sel.any() else np.zeros(0, np.int64)
+        sgs = ext_many(graph.sg_src[sel], d, tx_shard, tx_local,
+                       ext_tx_index)
         sgd = bd_local[graph.sg_dst[sel]]
         keep = sgs >= 0
         sgs, sgd = sgs[keep], sgd[keep]
@@ -419,36 +418,71 @@ def _exchange_1d(x, send_left, send_left_mask, send_right,
     return x, from_left, from_right
 
 
+def put_sharded(tree, sharding: NamedSharding):
+    """Place a host tree onto a (possibly multi-host) NamedSharding.
+
+    ``jax.make_array_from_callback`` hands each process only its
+    addressable shards, so this works on pod slices where a plain
+    ``device_put`` of a host-local array to a cross-host sharding does
+    not.  Single-host behavior is identical."""
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+
+    return jax.tree.map(put, tree)
+
+
+def fetch_global(tree):
+    """np.asarray for every leaf, gathering across processes first when
+    the outputs span non-addressable devices (multi-host meshes)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        tree = multihost_utils.process_allgather(tree)
+    return jax.tree.map(np.asarray, tree)
+
+
+_PREDICT_FN_CACHE: dict = {}
+
+
 def make_sharded_predict(
     model,
-    params,
     mesh: Mesh,
     axis: str = "data",
 ):
     """Build a jitted shard_map whole-slide predict function.
 
-    Returns ``fn(stacked_tiles, halo) -> (tx_index, seg, max_sim, gene,
-    mask)`` with leading shard axis on every output.
+    Returns ``fn(params, stacked_tiles, halo) -> (tx_index, seg,
+    max_sim, gene, mask)`` with leading shard axis on every output.
+    ``params`` is a replicated runtime argument (not baked into the
+    program as constants), and the jitted callable is cached per
+    (model, mesh, axis) so repeated whole-slide predictions — e.g.
+    after successive checkpoints — don't recompile.
     """
+    key = (model, mesh, axis)
+    hit = _PREDICT_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
     n_shards = mesh.shape[axis]
 
-    def device_fn(tile: TileGraph, halo: HaloSpec):
+    def device_fn(params, tile: TileGraph, halo: HaloSpec):
         # shard_map delivers (1, ...) blocks; drop/restore the axis
         tile = jax.tree.map(lambda x: x[0], tile)
         halo = jax.tree.map(lambda x: x[0], halo)
 
         def exchange(x_tx, x_bd):
+            # only tx sources feed convs (the bd->tx conv is dormant in
+            # the reference and bt tables are never built) — exchanging
+            # x_bd per layer would be 2 dead ppermutes/layer
             x_tx_ext = _exchange_1d(
                 x_tx, halo.tx_send_left, halo.tx_send_left_mask,
                 halo.tx_send_right, halo.tx_send_right_mask,
                 axis, n_shards,
             )
-            x_bd_ext = _exchange_1d(
-                x_bd, halo.bd_send_left, halo.bd_send_left_mask,
-                halo.bd_send_right, halo.bd_send_right_mask,
-                axis, n_shards,
-            )
-            return x_tx_ext, x_bd_ext
+            return x_tx_ext, None
 
         emb = model.apply(
             params, tile, deterministic=True, exchange=exchange,
@@ -463,36 +497,27 @@ def make_sharded_predict(
             ),
             axis=0,
         )
-        from ..ops import csr_gather, csr_max
+        from ..ops import score_candidates
 
-        g = csr_gather(x_bd_ext, tile.cand)
-        tx = emb["tx"]
-        num = jnp.einsum("nf,nkf->nk", tx, g)
-        ntx = jnp.sqrt(
-            jnp.maximum((tx * tx).sum(-1, keepdims=True), 1e-16)
+        max_sim, seg = score_candidates(
+            emb["tx"], x_bd_ext, tile.cand, halo.bd_index_ext
         )
-        ng = jnp.sqrt(jnp.maximum((g * g).sum(-1), 1e-16))
-        sim = num / (ntx * ng)
-        max_sim, arg = csr_max(sim, tile.cand)
-        seg = jnp.where(arg >= 0, halo.bd_index_ext[arg], -1)
-        mask = tile.tx_valid
         return jax.tree.map(
             lambda x: x[None],
-            (
-                tile.tx_index, seg.astype(jnp.int32), max_sim,
-                tile.tx_gene, mask,
-            ),
+            (tile.tx_index, seg, max_sim, tile.tx_gene, tile.tx_valid),
         )
 
     spec = P(axis)
     fn = jax.shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(spec, spec),
+        in_specs=(P(), spec, spec),
         out_specs=spec,
         check_vma=False,
     )
-    return jax.jit(fn)
+    fn = jax.jit(fn)
+    _PREDICT_FN_CACHE[key] = fn
+    return fn
 
 
 def make_sharded_train_step(
@@ -537,17 +562,14 @@ def make_sharded_train_step(
         k_drop, k_tx, k_bd, k_sg = jax.random.split(key, 4)
 
         def exchange(x_tx, x_bd):
+            # tx only — see make_sharded_predict's exchange
             return (
                 _exchange_1d(
                     x_tx, halo.tx_send_left, halo.tx_send_left_mask,
                     halo.tx_send_right, halo.tx_send_right_mask,
                     axis, n_shards,
                 ),
-                _exchange_1d(
-                    x_bd, halo.bd_send_left, halo.bd_send_left_mask,
-                    halo.bd_send_right, halo.bd_send_right_mask,
-                    axis, n_shards,
-                ),
+                None,
             )
 
         emb = model.apply(
@@ -659,14 +681,11 @@ def sharded_predict(
             "(tt, sg, cand)", dropped.tolist(),
         )
     sharding = NamedSharding(mesh, P(axis))
-    stacked = jax.tree.map(
-        lambda x: jax.device_put(jnp.asarray(x), sharding), stacked
-    )
-    halo = jax.tree.map(
-        lambda x: jax.device_put(jnp.asarray(x), sharding), halo
-    )
-    fn = make_sharded_predict(model, params, mesh, axis)
-    idx, seg, sim, gene, mask = jax.tree.map(np.asarray, fn(stacked, halo))
+    stacked = put_sharded(stacked, sharding)
+    halo = put_sharded(halo, sharding)
+    fn = make_sharded_predict(model, mesh, axis)
+    out = fn(params, stacked, halo)
+    idx, seg, sim, gene, mask = fetch_global(out)
     m = mask.ravel()
     return {
         "row_index": idx.ravel()[m],

@@ -26,9 +26,14 @@ def initialize_multihost(
     Thin wrapper over ``jax.distributed.initialize`` — on Cloud TPU pods
     all arguments are auto-detected from the environment; pass them
     explicitly for custom launchers.  After this, ``jax.devices()``
-    spans every host and the mesh/halo machinery in this package works
-    unchanged across hosts (collectives ride ICI within a slice, DCN
-    across slices).  SURVEY §5.8.
+    spans every host; the halo predict paths place inputs with
+    ``jax.make_array_from_callback`` (each process feeds its
+    addressable shards) and gather outputs with
+    ``multihost_utils.process_allgather``
+    (``parallel.halo.put_sharded`` / ``fetch_global``), so collectives
+    ride ICI within a slice and DCN across slices.  Every process
+    currently builds the full host graph before sharding — acceptable
+    while the host pipeline is replicated per host.  SURVEY §5.8.
     """
     import jax
 

@@ -288,23 +288,14 @@ class SeggerTrainer:
         model = self.model
 
         def predict_tile(params, tile: TileGraph):
+            from ..ops import score_candidates
+
             emb = model.apply(params, tile, deterministic=True)
-            # candidate similarities: cosine per tx->bd candidate slot
-            # (lightning_model.py:275-284)
-            g = csr_gather(emb["bd"], tile.cand)  # (Ntx, K, F)
-            tx = emb["tx"]
-            num = jnp.einsum("nf,nkf->nk", tx, g)
-            ntx = jnp.sqrt(jnp.maximum((tx * tx).sum(-1, keepdims=True),
-                                       1e-16))
-            ng = jnp.sqrt(jnp.maximum((g * g).sum(-1), 1e-16))
-            sim = num / (ntx * ng)
-            max_sim, arg = csr_max(sim, tile.cand)
-            seg = jnp.where(arg >= 0, tile.bd_index[arg], -1)
-            mask = tile.tx_interior & tile.tx_valid
-            return (
-                tile.tx_index, seg.astype(jnp.int32), max_sim,
-                tile.tx_gene, mask,
+            max_sim, seg = score_candidates(
+                emb["tx"], emb["bd"], tile.cand, tile.bd_index
             )
+            mask = tile.tx_interior & tile.tx_valid
+            return (tile.tx_index, seg, max_sim, tile.tx_gene, mask)
 
         @jax.jit
         def predict_step(params, batch):

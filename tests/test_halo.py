@@ -195,3 +195,15 @@ def test_sharded_embeddings_match_exactly(graph, model_and_params):
     got = e_tx[valid][np.argsort(idx[valid])]
     want = np.asarray(emb_ref["tx"])
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_predict_fn_cached_across_calls(model_and_params):
+    """make_sharded_predict must return the same jitted callable for
+    the same (model, mesh) so repeated whole-slide predictions don't
+    recompile (review r2: fresh closure + params baked as constants)."""
+    from segger_tpu.parallel.halo import make_sharded_predict
+
+    model, _, _ = model_and_params
+    mesh = make_mesh(N_DEV)
+    assert make_sharded_predict(model, mesh) is \
+        make_sharded_predict(model, mesh)
