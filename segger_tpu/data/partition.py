@@ -22,7 +22,7 @@ import numpy as np
 from ..geometry.quadtree import QuadTree
 from ..ops.padded_csr import coo_to_padded_csr, transpose_csr, PaddedCSR
 from .assemble import HostGraph
-from .graph import TileGraph
+from .graph import TileGraph, pad_axis
 
 
 # ----------------------------------------------------------------------
@@ -93,11 +93,15 @@ def square_tiling(pos: np.ndarray, side_length: float) -> QuadTree:
     return tree
 
 
-def _group_rows_by_label(labels: np.ndarray, n_groups: int):
+def _group_rows_by_label(labels: np.ndarray, n_groups: int,
+                         rows: Optional[np.ndarray] = None):
     """Sorted row indices per label in one argsort pass (replaces the
-    O(N x T) per-leaf ``np.where(lab == li)`` scans)."""
+    O(N x T) per-leaf ``np.where(lab == li)`` scans).  With ``rows``,
+    groups (row, label) membership pairs instead of positions."""
     order = np.argsort(labels, kind="stable")
     sl = labels[order]
+    if rows is not None:
+        order = rows[order]
     starts = np.searchsorted(sl, np.arange(n_groups))
     ends = np.searchsorted(sl, np.arange(n_groups), side="right")
     return [np.sort(order[s:e]) for s, e in zip(starts, ends)]
@@ -159,17 +163,10 @@ def make_predict_tiles(
     bd_pairs = tree.expanded_label_multi(graph.bd_pos, margin)
 
     # group the (row, leaf) membership pairs by leaf in one pass
-    def group_pairs(rows, leaves):
-        order = np.argsort(leaves, kind="stable")
-        sl = leaves[order]
-        starts = np.searchsorted(sl, np.arange(tree.n_leaves))
-        ends = np.searchsorted(sl, np.arange(tree.n_leaves),
-                               side="right")
-        return [np.sort(rows[order[s:e]])
-                for s, e in zip(starts, ends)]
-
-    tx_groups = group_pairs(*tx_pairs)
-    bd_groups = group_pairs(*bd_pairs)
+    tx_groups = _group_rows_by_label(tx_pairs[1], tree.n_leaves,
+                                     rows=tx_pairs[0])
+    bd_groups = _group_rows_by_label(bd_pairs[1], tree.n_leaves,
+                                     rows=bd_pairs[0])
     eg = _edge_groups(graph)
     in_tile = np.zeros(graph.n_tx, bool)
 
@@ -456,9 +453,7 @@ def extract_tile(
     ntx, nbd = spec.tx_rows.size, spec.bd_rows.size
     assert ntx <= bucket.n_tx and nbd <= bucket.n_bd
 
-    def padn(a, n, fill=0):
-        pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-        return np.pad(a, pad, constant_values=fill)
+    padn = pad_axis
 
     # relabel tx endpoints into the strip-major order: new = inv[old]
     inv = np.empty(max(ntx, 1), np.int64)
@@ -471,8 +466,14 @@ def extract_tile(
     tb = coo_to_padded_csr(sg_d, sg_s, n_dst=bucket.n_bd, k=bucket.k_tb)
     # candidates keyed per-tx: rows are tx, idx entries are bd rows
     cand = coo_to_padded_csr(ca_s, ca_d, n_dst=bucket.n_tx, k=bucket.k_cand)
-    # transpose tables for the scatter-free training backward
-    tt_t = transpose_csr(tt, n_src=bucket.n_tx, k=bucket.k_tt_t)
+    # transpose tables for the scatter-free training backward;
+    # degree bucketing rebuilds tt_t from the permuted table, so
+    # building it here too would waste a full O(E_tile) transpose
+    will_bucket = bucket.n_lo > 0 and bucket.k_lo > 0
+    tt_t = (
+        None if will_bucket
+        else transpose_csr(tt, n_src=bucket.n_tx, k=bucket.k_tt_t)
+    )
     tb_t = transpose_csr(tb, n_src=bucket.n_tx, k=bucket.k_tb_t)
 
     # sampler block structure (avoids per-step device argsorts)
@@ -522,10 +523,11 @@ def extract_tile(
         bd_sampler_sorted=bd_ss,
         bd_sampler_counts=bd_sc,
     )
-    if bucket.n_lo > 0 and bucket.k_lo > 0:
+    if will_bucket:
         tile = apply_degree_bucketing(
             tile, n_lo=bucket.n_lo, k_lo=bucket.k_lo,
             k_lo_t=bucket.k_lo_t, k_hi_t=bucket.k_hi_t,
+            k_tt_t=bucket.k_tt_t,
         )
     return tile
 
@@ -533,6 +535,7 @@ def extract_tile(
 def apply_degree_bucketing(
     tile: TileGraph, n_lo: int, k_lo: int = DEGREE_BUCKET_K_LO,
     k_lo_t: Optional[int] = None, k_hi_t: Optional[int] = None,
+    k_tt_t: Optional[int] = None,
 ) -> TileGraph:
     """Reorder a NumPy tile's tx rows so low-tt-in-degree rows lead.
 
@@ -589,8 +592,9 @@ def apply_degree_bucketing(
     tb = PaddedCSR(idx=remap(tile.tb.idx), mask=np.asarray(tile.tb.mask))
 
     kw = {}
-    if tile.tt_t is not None:
-        kw["tt_t"] = transpose_csr(tt, n_src=n_tx, k=tile.tt_t.idx.shape[1])
+    if tile.tt_t is not None or k_tt_t is not None:
+        w = k_tt_t if k_tt_t is not None else tile.tt_t.idx.shape[1]
+        kw["tt_t"] = transpose_csr(tt, n_src=n_tx, k=w)
         kw["tt_lo_t"] = transpose_csr(tt_lo, n_src=n_tx, k=k_lo_t)
         kw["tt_hi_t"] = transpose_csr(tt_hi, n_src=n_tx, k=k_hi_t)
     if tile.tb_t is not None:

@@ -58,7 +58,6 @@ def _forward_pieces(xl, xr, att, csr, heads, slope):
     return g, p, s, alpha
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6,))
 def gatv2_edge_stage(
     xl, xr, att, keep_mask, csr: PaddedCSR, csr_t: PaddedCSR,
     config: tuple,
@@ -70,9 +69,23 @@ def gatv2_edge_stage(
     xl : (N_src, H*C); xr : (N_dst, H*C); att : (H, C)
     keep_mask : (N_dst, K, H) float multiplier on the attention
         coefficients (1.0 = no dropout; Bernoulli(keep)/keep for
-        dropout), or a scalar 1.0 array broadcastable to that shape.
+        dropout), or any array broadcastable to that shape (the
+        broadcast happens OUTSIDE the custom VJP, so gradients of a
+        scalar/broadcast mask reduce correctly instead of tripping the
+        cotangent-shape check).
     config : (heads, negative_slope) — static.
     """
+    keep_mask = jnp.broadcast_to(
+        jnp.asarray(keep_mask, xl.dtype), (*csr.idx.shape, config[0])
+    )
+    return _gatv2_edge_stage(xl, xr, att, keep_mask, csr, csr_t, config)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _gatv2_edge_stage(
+    xl, xr, att, keep_mask, csr: PaddedCSR, csr_t: PaddedCSR,
+    config: tuple,
+):
     heads, slope = config
     g, _, _, alpha = _forward_pieces(xl, xr, att, csr, heads, slope)
     n_dst, k = csr.idx.shape
@@ -84,7 +97,7 @@ def gatv2_edge_stage(
 
 
 def _fwd(xl, xr, att, keep_mask, csr, csr_t, config):
-    out = gatv2_edge_stage(xl, xr, att, keep_mask, csr, csr_t, config)
+    out = _gatv2_edge_stage(xl, xr, att, keep_mask, csr, csr_t, config)
     return out, (xl, xr, att, keep_mask, csr, csr_t)
 
 
@@ -153,7 +166,7 @@ def _bwd(config, res, G):
     return dxl, dxr, datt, d_keep, None, None
 
 
-gatv2_edge_stage.defvjp(_fwd, _bwd)
+_gatv2_edge_stage.defvjp(_fwd, _bwd)
 
 
 # ----------------------------------------------------------------------
@@ -175,8 +188,23 @@ def _att_blockdiag(att: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6,))
 def gatv2_edge_stage_flat(
+    xl, xr, att, keep_mask, csr: PaddedCSR, csr_t: PaddedCSR,
+    config: tuple,
+):
+    """Flat-layout fused edge stage (see module docstring).  Accepts
+    any ``keep_mask`` broadcastable to (N_dst, K, H); the broadcast
+    happens outside the custom VJP."""
+    keep_mask = jnp.broadcast_to(
+        jnp.asarray(keep_mask, xl.dtype), (*csr.idx.shape, config[0])
+    )
+    return _gatv2_edge_stage_flat(
+        xl, xr, att, keep_mask, csr, csr_t, config
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _gatv2_edge_stage_flat(
     xl, xr, att, keep_mask, csr: PaddedCSR, csr_t: PaddedCSR,
     config: tuple,
 ):
@@ -278,4 +306,4 @@ def _bwd_flat(config, res, G):
     return dxl, dxr, datt, d_keep.reshape(keep_mask.shape), None, None
 
 
-gatv2_edge_stage_flat.defvjp(_fwd_flat, _bwd_flat)
+_gatv2_edge_stage_flat.defvjp(_fwd_flat, _bwd_flat)

@@ -173,15 +173,15 @@ def csr_gather_t(x_src, csr: PaddedCSR, csr_t: PaddedCSR):
     Xenium-tile scale); this keeps the backward on the same
     gather/VPU-reduce path as the forward.
     """
-    return jnp.take(x_src, csr.idx, axis=0)
+    return csr_gather(x_src, csr)
 
 
 def _csr_gather_t_fwd(x_src, csr, csr_t):
-    return jnp.take(x_src, csr.idx, axis=0), (csr, csr_t, x_src.shape)
+    return csr_gather(x_src, csr), (csr, csr_t)
 
 
 def _csr_gather_t_bwd(res, g_grad):
-    csr, csr_t, src_shape = res
+    csr, csr_t = res
     n_dst, k = csr.idx.shape
     # zero out cotangents on invalid slots, flatten to (N_dst*K, F)
     flat = jnp.where(csr.mask[..., None], g_grad, 0).reshape(

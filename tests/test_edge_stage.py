@@ -157,3 +157,25 @@ def test_vmap_over_tiles(rng):
         xl
     )
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_scalar_keep_mask_grads(rng):
+    """The documented broadcastable keep_mask contract: a scalar 1.0
+    must work under jax.grad on both variants (review r2: the custom
+    VJP returned a full-shape cotangent for a scalar primal)."""
+    from segger_tpu.ops.edge_stage import gatv2_edge_stage_flat
+
+    xl, xr, att, csr, csr_t, heads, ch = setup(rng)
+    csr = jax.tree.map(jnp.asarray, csr)
+    csr_t = jax.tree.map(jnp.asarray, csr_t)
+    scalar = jnp.float32(1.0)
+    full = jnp.ones((*csr.idx.shape, heads), jnp.float32)
+    for fn in (gatv2_edge_stage, gatv2_edge_stage_flat):
+        ref = fn(xl, xr, att, full, csr, csr_t, (heads, 0.2))
+        out, grads = jax.value_and_grad(
+            lambda a, b, c, k: fn(a, b, c, k, csr, csr_t,
+                                  (heads, 0.2)).sum(),
+            argnums=(0, 1, 2, 3),
+        )(xl, xr, att, scalar)
+        np.testing.assert_allclose(out, ref.sum(), rtol=1e-5)
+        assert grads[3].shape == ()  # scalar keep grad reduces
