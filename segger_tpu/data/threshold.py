@@ -29,12 +29,16 @@ def threshold_yen(values: np.ndarray, nbins: int = 256) -> float:
     P2 = np.cumsum(p ** 2)
     P2r = np.cumsum(p[::-1] ** 2)[::-1]
     eps = 1e-30
-    # exclude degenerate endpoints where P in {0, 1}
+    # criterion at cut t: background = bins <= t, foreground = bins > t
+    # — the foreground second moment must EXCLUDE bin t (P2r[t+1]), the
+    # same pairing skimage uses (P1_sq[:-1] with P2_sq[1:]); including
+    # bin t skews the argmax near concentrated mass
+    Pt, P2t, P2rt = P[:-1], P2[:-1], P2r[1:]
     crit = (
-        2.0 * np.log(np.clip(P * (1.0 - P), eps, None))
-        - np.log(np.clip(P2 * P2r, eps, None))
+        2.0 * np.log(np.clip(Pt * (1.0 - Pt), eps, None))
+        - np.log(np.clip(P2t * P2rt, eps, None))
     )
-    valid = (P > 0) & (P < 1)
+    valid = (Pt > 0) & (Pt < 1)
     if not valid.any():
         return float(centers[len(centers) // 2])
     crit = np.where(valid, crit, -np.inf)

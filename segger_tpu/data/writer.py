@@ -91,7 +91,12 @@ def assign_transcripts_to_cells(
 
     thr = df[tx_f.feature].map(thresholds)
     df["similarity_threshold"] = thr.fillna(global_thr)
-    df["converged"] = ~df[tx_f.feature].isin(failed)
+    # converged marks a genuinely fitted per-gene threshold: genes that
+    # never entered the fit (zero assigned transcripts -> median
+    # backfill via fillna) are NOT converged, same as Li failures
+    df["converged"] = (
+        df[tx_f.feature].isin(thresholds) & ~df[tx_f.feature].isin(failed)
+    )
     if gene_names is not None:
         df["segger_gene"] = np.asarray(gene_names)[
             df[tx_f.feature].to_numpy()

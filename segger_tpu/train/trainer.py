@@ -107,22 +107,29 @@ class SeggerTrainer:
     def __init__(
         self,
         graph: HostGraph,
-        config: TrainConfig = TrainConfig(),
+        config: Optional[TrainConfig] = None,
         mesh=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
         stacked-tile batches are sharded over it (tile data parallelism;
         XLA inserts the gradient all-reduce)."""
+        import dataclasses
+
         from ..utils import enable_compilation_cache
 
         enable_compilation_cache()
         self.graph = graph
+        config = TrainConfig() if config is None else config
+        if mesh is not None and config.tiles_per_step % mesh.size:
+            # never mutate the caller's config object in place
+            config = dataclasses.replace(
+                config,
+                tiles_per_step=mesh.size * max(
+                    1, config.tiles_per_step // mesh.size
+                ),
+            )
         self.cfg = config
         self.mesh = mesh
-        if mesh is not None and config.tiles_per_step % mesh.size:
-            config.tiles_per_step = mesh.size * max(
-                1, config.tiles_per_step // mesh.size
-            )
         # gene embedding provides in_channels when pretrained
         # (lightning_model.py:94-106)
         emb = graph.gene_embedding
@@ -195,10 +202,12 @@ class SeggerTrainer:
         model, cfg = self.model, self.cfg
         tx_sim, bd_sim = self.tx_similarity, self.bd_similarity
 
-        def tile_losses(params, tile: TileGraph, key):
+        def tile_losses(params, tile: TileGraph, key,
+                        deterministic=False):
             k_drop, k_tx, k_bd, k_sg = jax.random.split(key, 4)
             emb = model.apply(
-                params, tile, deterministic=False, rngs={"dropout": k_drop}
+                params, tile, deterministic=deterministic,
+                rngs={"dropout": k_drop},
             )
             tx_mask = tile.tx_interior & tile.tx_valid & (tile.tx_cluster >= 0)
             bd_mask = (
@@ -234,11 +243,12 @@ class SeggerTrainer:
                  s_sg, c_sg.astype(jnp.float32)]
             )
 
-        def loss_fn(params, batch: TileGraph, key, weights):
+        def loss_fn(params, batch: TileGraph, key, weights,
+                    deterministic=False):
             b = batch.tx_gene.shape[0]
             keys = jax.random.split(key, b)
             stats = jax.vmap(
-                lambda t, k: tile_losses(params, t, k)
+                lambda t, k: tile_losses(params, t, k, deterministic)
             )(batch, keys)
             tot = stats.sum(axis=0)  # joint masked means across tiles
             l_tx = tot[0] / jnp.maximum(tot[1], 1.0)
@@ -258,7 +268,10 @@ class SeggerTrainer:
 
         @jax.jit
         def eval_step(params, batch, key, weights):
-            return loss_fn(params, batch, key, weights)
+            # eval mode: no dropout (the reference validates through
+            # Lightning's eval mode); triplet sampling keys still apply
+            return loss_fn(params, batch, key, weights,
+                           deterministic=True)
 
         @jax.jit
         def scan_train(params, opt_state, batches, keys, weights):
@@ -436,7 +449,9 @@ class SeggerTrainer:
         """Train/val loop with tile split + per-epoch repacking
         (reference: data_module.py:294-306, sampler regeneration)."""
         cfg = self.cfg
-        max_epochs = max_epochs or cfg.max_epochs
+        max_epochs = (
+            cfg.max_epochs if max_epochs is None else max_epochs
+        )
         rng = np.random.default_rng(cfg.seed)
         n = len(fit_tiles)
         perm = rng.permutation(n)
@@ -460,7 +475,7 @@ class SeggerTrainer:
         if self._train_step is None:
             self._train_step, self._eval_step = self._build_train_step()
 
-        key = jax.random.PRNGKey(cfg.seed + 1)
+        base_key = jax.random.PRNGKey(cfg.seed + 1)
         w_start = np.array(
             [cfg.tx_weight_start, cfg.bd_weight_start, cfg.sg_weight_start]
         )
@@ -488,7 +503,14 @@ class SeggerTrainer:
             weights = jnp.asarray(
                 L.cosine_weight_schedule(epoch, max_epochs, w_start, w_end)
             )
-            batches = self.iter_batches(train_tiles, shuffle=True, rng=rng)
+            # per-epoch streams derived from the epoch index, so a
+            # checkpoint resume at epoch e consumes exactly the keys
+            # and shuffles an uninterrupted run would at epoch e
+            # (instead of replaying epoch 0's streams)
+            key = jax.random.fold_in(base_key, epoch)
+            erng = np.random.default_rng([cfg.seed, epoch])
+            batches = self.iter_batches(train_tiles, shuffle=True,
+                                        rng=erng)
             ep_loss = []
             if cfg.scan_steps > 1:
                 key, ep_loss = self._run_scanned_epoch(
@@ -553,10 +575,34 @@ class SeggerTrainer:
 
     # ------------------------------------------------------------------
     def _run_scanned_epoch(self, batches, key, weights):
-        """Group shape-identical batches and run them scan_steps at a
-        time inside single dispatches."""
+        """Run shape-identical batches scan_steps at a time inside
+        single dispatches.
+
+        Streaming: a full-depth chunk dispatches as soon as its
+        signature group reaches ``scan_steps`` batches, so host RAM
+        holds at most (scan_steps - 1) pending batches per signature
+        (not the whole epoch) and extraction overlaps device compute
+        through the prefetch iterator.  Remainders flush at epoch end
+        through a stable depth menu (descending powers of two): each
+        distinct depth is a separate compiled program, so a raw
+        remainder (1..s-1, varying with every repack) would recompile
+        almost every epoch."""
         ep_loss = []
-        groups: Dict[tuple, list] = {}
+        s_depth = self.cfg.scan_steps
+
+        def dispatch(chunk, key):
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *chunk)
+            stacked = self._device_put_scan(stacked)
+            key, *subs = jax.random.split(key, len(chunk) + 1)
+            keys = jnp.stack(subs)
+            self.params, self.opt_state, metrics = self._scan_train(
+                self.params, self.opt_state, stacked, keys, weights
+            )
+            for row in np.asarray(metrics):
+                ep_loss.append([float(v) for v in row])
+            return key
+
+        pending: Dict[tuple, list] = {}
         for batch in batches:
             leaves, treedef = jax.tree.flatten(batch)
             # treedef carries the tile's static metadata (tt_n_lo /
@@ -566,41 +612,23 @@ class SeggerTrainer:
                 treedef,
                 tuple((tuple(x.shape), str(x.dtype)) for x in leaves),
             )
-            groups.setdefault(sig, []).append(batch)
-        for group in groups.values():
-            s = self.cfg.scan_steps
-            # chunk the group into scan depths from a stable menu
-            # (full, then descending powers of two for the remainder):
-            # each distinct depth is a separate compiled program, so a
-            # raw remainder (1..s-1, varying with every repack) would
-            # recompile almost every epoch
-            sizes = []
+            group = pending.setdefault(sig, [])
+            group.append(batch)
+            if len(group) == s_depth:
+                key = dispatch(group, key)
+                pending[sig] = []
+        for group in pending.values():
             n_left = len(group)
-            while n_left >= s:
-                sizes.append(s)
-                n_left -= s
             p = 1
             while p * 2 <= max(n_left, 1):
                 p *= 2
+            i = 0
             while n_left > 0:
                 while p > n_left:
                     p //= 2
-                sizes.append(p)
+                key = dispatch(group[i : i + p], key)
+                i += p
                 n_left -= p
-            starts = np.concatenate([[0], np.cumsum(sizes)])[:-1]
-            for i, sz in zip(starts, sizes):
-                chunk = group[i : i + sz]
-                stacked = jax.tree.map(
-                    lambda *xs: jnp.stack(xs), *chunk
-                )
-                stacked = self._device_put_scan(stacked)
-                key, *subs = jax.random.split(key, len(chunk) + 1)
-                keys = jnp.stack(subs)
-                self.params, self.opt_state, metrics = self._scan_train(
-                    self.params, self.opt_state, stacked, keys, weights
-                )
-                for row in np.asarray(metrics):
-                    ep_loss.append([float(v) for v in row])
         return key, ep_loss
 
     def _device_put_scan(self, stacked):
@@ -687,7 +715,9 @@ class SeggerTrainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         cfg = self.cfg
-        max_epochs = max_epochs or cfg.max_epochs
+        max_epochs = (
+            cfg.max_epochs if max_epochs is None else max_epochs
+        )
 
         if grid is not None:
             from ..parallel.grid import (
@@ -735,14 +765,14 @@ class SeggerTrainer:
             template = jax.tree.map(lambda x: np.asarray(x)[0], stacked)
             self.init(template)
         sharding = NamedSharding(mesh, spec)
-        stacked = jax.tree.map(
-            lambda x: jax.device_put(jnp.asarray(x), sharding), stacked
-        )
-        halo = jax.tree.map(
-            lambda x: jax.device_put(jnp.asarray(x), sharding), halo
-        )
+        # put_sharded feeds each device its shard directly (no transient
+        # whole-slide copy on device 0, multi-host safe)
+        from ..parallel.halo import put_sharded
+
+        stacked = put_sharded(stacked, sharding)
+        halo = put_sharded(halo, sharding)
         step = mk_step()
-        key = jax.random.PRNGKey(cfg.seed + 1)
+        base_key = jax.random.PRNGKey(cfg.seed + 1)
         w_start = np.array(
             [cfg.tx_weight_start, cfg.bd_weight_start, cfg.sg_weight_start]
         )
@@ -754,7 +784,7 @@ class SeggerTrainer:
             weights = jnp.asarray(
                 L.cosine_weight_schedule(epoch, max_epochs, w_start, w_end)
             )
-            key, sub = jax.random.split(key)
+            sub = jax.random.fold_in(base_key, epoch)
             self.params, self.opt_state, loss, aux = step(
                 self.params, self.opt_state, stacked, halo, sub, weights
             )

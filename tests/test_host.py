@@ -166,3 +166,31 @@ def test_polygon_areas_batch_matches_loop(rng):
     np.testing.assert_allclose(polygon_areas_batch(polys), ref,
                                rtol=1e-9)
     assert polygon_areas_batch([]).shape == (0,)
+
+
+def test_threshold_yen_matches_published_pairing(rng):
+    """Yen criterion at cut t: foreground second moment excludes bin t
+    (review r2: off-by-one vs the published method / skimage)."""
+    from segger_tpu.data.threshold import threshold_yen
+
+    def published_yen(values, nbins=256):
+        lo, hi = values.min(), values.max()
+        counts, edges = np.histogram(values, bins=nbins, range=(lo, hi))
+        centers = (edges[:-1] + edges[1:]) / 2
+        pmf = counts.astype(np.float64) / counts.sum()
+        P1 = np.cumsum(pmf)
+        P1_sq = np.cumsum(pmf ** 2)
+        P2_sq = np.cumsum(pmf[::-1] ** 2)[::-1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            crit = np.log(
+                ((P1_sq[:-1] * P2_sq[1:]) ** -1)
+                * (P1[:-1] * (1.0 - P1[:-1])) ** 2
+            )
+        return centers[np.nanargmax(crit)]
+
+    for i in range(20):
+        n1, n2 = rng.integers(200, 5000, 2)
+        v = np.concatenate([
+            rng.normal(0.2, 0.08, n1), rng.normal(0.75, 0.1, n2),
+        ])
+        assert abs(threshold_yen(v) - published_yen(v)) < 1e-9

@@ -164,3 +164,65 @@ def test_predict_path_does_not_populate_tile_cache(small_pipeline):
     assert out["row_index"].size > 0
     assert tr._tile_cache_bytes == bytes_after_fit
     assert len(tr._tile_cache) == n_after_fit
+
+
+def test_resume_matches_uninterrupted_run(small_pipeline, tmp_path):
+    """Epoch streams are derived from the epoch index, so train 3
+    epochs straight == train 2, crash, resume for the 3rd (review r2:
+    resume used to replay epoch 0's keys and shuffles)."""
+    tiles = make_fit_tiles(small_pipeline.graph, small_pipeline.tree,
+                           margin=8.0)
+    # flat loss-weight schedule: the cosine ramp depends on max_epochs,
+    # which legitimately differs between the 2-epoch and 3-epoch fits
+    kw = dict(hidden_channels=8, out_channels=8, n_mid_layers=0,
+              n_heads=1, seed=0,
+              tx_weight_start=1.0, tx_weight_end=1.0,
+              bd_weight_start=1.0, bd_weight_end=1.0,
+              sg_weight_start=0.5, sg_weight_end=0.5)
+
+    tr_full = SeggerTrainer(small_pipeline.graph, TrainConfig(**kw))
+    hist_full = tr_full.fit(tiles, max_epochs=3)
+
+    ckpt = TrainConfig(**kw, checkpoint_every=1,
+                       checkpoint_dir=str(tmp_path))
+    tr_a = SeggerTrainer(small_pipeline.graph, ckpt)
+    tr_a.fit(tiles, max_epochs=2)
+    tr_b = SeggerTrainer(small_pipeline.graph, ckpt)
+    hist_b = tr_b.fit(tiles, max_epochs=3)
+
+    assert hist_b[-1]["epoch"] == 2
+    np.testing.assert_allclose(
+        hist_b[-1]["train:loss"], hist_full[-1]["train:loss"],
+        rtol=1e-5,
+    )
+    import jax
+
+    for a, b in zip(jax.tree.leaves(tr_full.params),
+                    jax.tree.leaves(tr_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_trainer_does_not_mutate_caller_config(small_pipeline):
+    """Passing a mesh must not mutate the caller's TrainConfig (review
+    r2: shared default instance mutated in place)."""
+    from segger_tpu.parallel.mesh import make_mesh
+
+    cfg = TrainConfig(hidden_channels=8, out_channels=8,
+                      n_mid_layers=0, n_heads=1, tiles_per_step=1)
+    tr = SeggerTrainer(small_pipeline.graph, cfg, mesh=make_mesh(4))
+    assert cfg.tiles_per_step == 1          # caller object untouched
+    assert tr.cfg.tiles_per_step == 4       # trainer copy rounded
+    tr2 = SeggerTrainer(small_pipeline.graph)
+    assert tr2.cfg.tiles_per_step == TrainConfig().tiles_per_step
+
+
+def test_fit_zero_epochs_runs_nothing(small_pipeline):
+    tiles = make_fit_tiles(small_pipeline.graph, small_pipeline.tree,
+                           margin=8.0)
+    tr = SeggerTrainer(
+        small_pipeline.graph,
+        TrainConfig(hidden_channels=8, out_channels=8, n_mid_layers=0,
+                    n_heads=1),
+    )
+    assert tr.fit(tiles, max_epochs=0) == []
