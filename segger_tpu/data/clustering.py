@@ -98,8 +98,21 @@ def louvain(
             sigma = np.bincount(comm, weights=k, minlength=C)
             own = cc == comm[uu]
             sig_eff = sigma[cc] - np.where(own, k[uu], 0.0)
-            # gain of moving u into c (staying = 0)
+            # insertion gain of u into c, with u removed from its own
+            # community first (sig_eff excludes u there)
             gain = Wuc - resolution * k[uu] * sig_eff / m2
+            # gain of RE-INSERTING into the own community (the baseline
+            # a move must beat — comparing against 0 moves nodes out of
+            # communities they are tightly bound to).  W(u, own\{u})
+            # defaults to 0 for nodes with no intra-community edge and
+            # excludes the self-loop, which stays with u either way.
+            w_own = np.zeros(n)
+            w_own[uu[own]] = Wuc[own]
+            w_own = w_own - A.diagonal()
+            own_gain = (
+                w_own - resolution * k * (sigma[comm] - k) / m2
+            )
+            gain = gain - own_gain[uu]
             gain = np.where(own, 0.0, gain)
             # per-u argmax over its candidate communities
             order = np.lexsort((-gain, uu))

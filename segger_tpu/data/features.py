@@ -82,7 +82,14 @@ def cluster_cosine_similarity(
 ) -> np.ndarray:
     """(C, C) cosine-similarity of per-cluster mean normalized embeddings
     for clusters 0..C-1 (reference math: anndata.py:105-128; see module
-    docstring for the indexing fix)."""
+    docstring for the indexing fix).
+
+    Entry [c, d] = mean pairwise cosine between members of c and d
+    (means of unit vectors are NOT renormalized — diagonal < 1 for
+    diffuse clusters).  This matches the reference exactly
+    (anndata.py:128, ``means @ means.T`` on normalized rows); the
+    triplet/metric losses consume these values as soft targets, so the
+    convention must match."""
     clusters = np.asarray(clusters)
     keep = clusters >= 0
     c = int(clusters[keep].max()) + 1 if keep.any() else 0
@@ -183,6 +190,10 @@ def setup_features(
         cols = [ref_idx[g] for g in ad.var.index.astype(str)]
         ref_sub = ref.subset(var_idx=np.asarray(cols))
         ref_sub = _normalise(ref_sub, cells_min_counts)
+        # reference parity: the gene-gene correlation uses ALL reference
+        # cells (anndata.py:243 ``counts = ref.layers['norm']``), not
+        # just the >= cells_min_counts filtered subset the no-reference
+        # branch uses — intentional asymmetry carried over faithfully
         counts = ref_sub.layers["norm"]
     else:
         counts = ad.layers["norm"][ad.obs["filtered"].to_numpy()]

@@ -214,6 +214,9 @@ class QuadTree:
             lab_sorted, np.arange(self.n_leaves), side="right"
         )
         lb = self.leaf_bounds
+        # loop-invariant: out-of-root points (label -1) — computed once,
+        # not O(n_leaves) full passes over labels
+        outside = np.where(labels == -1)[0]
         p_out, l_out = [], []
         for li, (x0, y0, x1, y1) in enumerate(lb):
             ex0, ey0 = x0 - margin, y0 - margin
@@ -231,8 +234,8 @@ class QuadTree:
             # points outside every leaf (label -1) can still fall in an
             # expanded box only if outside the root; root is the union
             # of leaves, and margins extend beyond it — include them
-            if (labels == -1).any():
-                idx_parts.append(np.where(labels == -1)[0])
+            if outside.size:
+                idx_parts.append(outside)
             idx = (
                 np.concatenate(idx_parts)
                 if idx_parts

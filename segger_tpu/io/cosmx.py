@@ -39,16 +39,19 @@ def masks_to_contours(
     here contours are extracted per label bbox directly with cv2)."""
     import cv2
 
+    from scipy import ndimage
+
     out = {}
-    ids = np.unique(labels)
-    ids = ids[ids != 0]
-    # bounding boxes per label via a single sweep
-    for lid in ids:
-        ys, xs = np.where(labels == lid)
-        if ys.size == 0:
+    # bounding boxes for ALL labels in one O(H*W) sweep — a per-label
+    # np.where scan is O(n_labels * H * W), hours per whole slide at
+    # ~5k cells x 30 Mpx per FOV
+    slices = ndimage.find_objects(labels)
+    for lid0, sl in enumerate(slices):
+        if sl is None:
             continue
-        y0, y1 = ys.min(), ys.max() + 1
-        x0, x1 = xs.min(), xs.max() + 1
+        lid = lid0 + 1
+        y0, y1 = sl[0].start, sl[0].stop
+        x0, x1 = sl[1].start, sl[1].stop
         crop = (labels[y0:y1, x0:x1] == lid).astype(np.uint8)
         contours, _ = cv2.findContours(
             crop, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
@@ -114,8 +117,9 @@ def get_cosmx_polygons(
     """All-FOV polygons in global micron coordinates.
 
     Composite ids are ``c_{fov}_{label}`` matching CosMX transcript 'cell'
-    ids.  The FOV->global transform applies the y-flip and
-    microns-per-pixel scale (reference: io/cosmx.py:21-115,
+    ids.  The FOV->global transform applies the y-flip into the
+    vendor's global-PIXEL space, matching the transcript
+    x_global_px/y_global_px columns (reference: io/cosmx.py:21-115,
     io/utils.py:8-41).
     """
     bd = CosMxBoundaryFields()
@@ -133,10 +137,15 @@ def get_cosmx_polygons(
 
     # global offsets per fov (mm or px columns depending on version)
     def _xy_columns(df):
+        # offsets are converted to GLOBAL PIXELS — the same space the
+        # vendor's x_global_px/y_global_px transcript columns use
+        # (reference: io/cosmx.py:99-102 divides mm offsets by mpp and
+        # keeps polygon vertices in pixels; transcripts are never
+        # rescaled, preprocessor.py:252-299)
         for xc, yc, scale in (
-            ("X_mm", "Y_mm", 1000.0),
-            ("x_global_px", "y_global_px", bd.mpp),
-            ("X_px", "Y_px", bd.mpp),
+            ("X_mm", "Y_mm", 1000.0 / bd.mpp),
+            ("x_global_px", "y_global_px", 1.0),
+            ("X_px", "Y_px", 1.0),
         ):
             if xc in df.columns and yc in df.columns:
                 return xc, yc, scale
@@ -166,17 +175,17 @@ def get_cosmx_polygons(
                 continue
             comp = _read_label_tiff(comp_tiff)
             labels = np.where(comp == bd.nucleus_value, labels, 0)
-        h = labels.shape[0]
         n_cells = max(len(np.unique(labels)) - 1, 1)
         mean_size = np.sqrt(labels.size / n_cells)
         contours = masks_to_contours(labels, simplify_tol=mean_size / 50)
         ox, oy = float(row[xc]) * scale, float(row[yc]) * scale
         for lid, poly in contours.items():
+            # global px = (x_local + ox, oy - y_local): the reference's
+            # AffineTransform(scale=[1, -1], translation=[tx, ty])
+            # (io/cosmx.py:102) — image y points down, global y up
             g = poly.copy()
-            g[:, 1] = h - g[:, 1]       # y-flip (image -> micron axes)
-            g *= bd.mpp
             g[:, 0] += ox
-            g[:, 1] += oy
+            g[:, 1] = oy - g[:, 1]
             ids.append(f"c_{fov}_{lid}")
             polys.append(g)
     return ids, polys

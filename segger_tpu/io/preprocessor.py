@@ -117,18 +117,30 @@ class ISTPreprocessor(ABC):
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            writer = None
+            # explicit schema: inference would lock the writer to the
+            # FIRST chunk's types, and an all-None object cell_id chunk
+            # infers null — a later string chunk (or the converse)
+            # would fail mid-write and truncate the output
+            schema = pa.schema(
+                [
+                    (std_t.row_index, pa.int64()),
+                    (std_t.x, pa.float64()),
+                    (std_t.y, pa.float64()),
+                    (std_t.feature, pa.string()),
+                    (std_t.cell_id, pa.string()),
+                    (std_t.compartment, pa.int8()),
+                ]
+            )
+            writer = pq.ParquetWriter(tx_path, schema)
             try:
                 for chunk in self.iter_transcripts(batch_rows):
                     table = pa.Table.from_pandas(
-                        chunk, preserve_index=False
+                        chunk[list(schema.names)], schema=schema,
+                        preserve_index=False,
                     )
-                    if writer is None:
-                        writer = pq.ParquetWriter(tx_path, table.schema)
                     writer.write_table(table)
             finally:
-                if writer is not None:
-                    writer.close()
+                writer.close()
         else:
             self.transcripts.to_parquet(tx_path, index=False)
         bd, polys = self.boundaries
@@ -425,7 +437,20 @@ class CosMXPreprocessor(ISTPreprocessor):
         )
         # composite cell id c_{fov}_{cell}, null outside cells
         fov_col = "fov" if "fov" in df.columns else "FOV"
-        cell_raw = df[raw.cell_id].astype(str)
+        # per-chunk pandas dtype inference can make the cell column
+        # float ("57.0"); coerce through int so composite ids are
+        # stable across chunks and join the f"c_{fov}_{lid}" boundary
+        # ids (which are always integer-formatted)
+        cell_num = pd.to_numeric(df[raw.cell_id], errors="coerce")
+        numeric = (
+            (df[raw.cell_id].notna() == cell_num.notna()).all()
+            and (cell_num.dropna() % 1 == 0).all()
+        )
+        cell_raw = (
+            cell_num.fillna(0).astype(np.int64).astype(str)
+            if numeric
+            else df[raw.cell_id].astype(str)
+        )
         cid = (
             "c_" + df[fov_col].astype(int).astype(str) + "_" + cell_raw
         )
@@ -515,9 +540,22 @@ class MerscopePreprocessor(ISTPreprocessor):
         )
         # drop Blank-* control probes (vizgen convention)
         df = df[~df[raw.feature].astype(str).str.startswith("Blank")]
+        # chunked CSV parsing may infer the cell column as float64
+        # (e.g. one empty value in the chunk): normalize through a
+        # nullable integer so -1 never renders as "-1.0" and ids match
+        # the boundary EntityID strings across chunks
         cell_raw = df[raw.cell_id]
-        has_cell = cell_raw.notna() & (cell_raw.astype(str) != "-1")
-        cell_id = cell_raw.astype(str).where(has_cell, None)
+        as_num = pd.to_numeric(cell_raw, errors="coerce")
+        numeric = (
+            (cell_raw.notna() == as_num.notna()).all()
+            and (as_num.dropna() % 1 == 0).all()
+        )
+        if numeric:
+            cell_norm = as_num.astype("Int64").astype(str)
+        else:
+            cell_norm = cell_raw.astype(str)
+        has_cell = cell_raw.notna() & (cell_norm != "-1")
+        cell_id = cell_norm.where(has_cell, None)
         pos = df[[raw.x, raw.y]].to_numpy(np.float64)
 
         compartment = np.where(
@@ -631,9 +669,10 @@ def get_preprocessor(
     data_dir = Path(data_dir)
     if platform is None:
         platform = _infer_platform(data_dir)
+    platform = platform.lower()
     if platform not in PREPROCESSORS:
         raise ValueError(
             f"Unknown platform: '{platform}'. "
             f"Available: {list(PREPROCESSORS)}"
         )
-    return PREPROCESSORS[platform.lower()](data_dir)
+    return PREPROCESSORS[platform](data_dir)

@@ -33,17 +33,18 @@ def cosmx_dir(tmp_path):
         cv2.imwrite(str(tmp_path / "CompartmentLabels" /
                         f"CompartmentLabels_F{fov:03d}.tif"), comp)
 
-        # transcripts in pixel-global coordinates
+        # transcripts in the vendor's GLOBAL-PIXEL convention:
+        # x_global = x_local + ox, y_global = oy - y_local (y up)
         for cid, (y0, x0) in enumerate([(10, 10), (60, 60)], start=1):
             for _ in range(10):
                 px = x0 + rng.uniform(2, 23)
                 py = y0 + rng.uniform(2, 23)
                 tx_rows.append(
                     (fov, f"G{rng.integers(0, 5)}",
-                     (fov - 1) * w + px, py, cid, "Cytoplasm")
+                     (fov - 1) * w + px, -py, cid, "Cytoplasm")
                 )
         # extracellular noise
-        tx_rows.append((fov, "G0", (fov - 1) * w + 5, 95, 0, "None"))
+        tx_rows.append((fov, "G0", (fov - 1) * w + 5, -95, 0, "None"))
 
     pd.DataFrame(
         tx_rows,
@@ -81,10 +82,20 @@ def test_cosmx_reader(cosmx_dir):
     assert (bd[b.boundary_type] == b.cell_value).sum() == 4
     assert (bd[b.boundary_type] == b.nucleus_value).sum() == 4
     assert bd[b.contains_nucleus].all()
-    # polygon scale: 25 px cell ~ 3 um side at 0.12028 mpp
+    # polygons stay in the global-PIXEL space of the transcripts
+    # (reference convention, io/cosmx.py:99-102): 25 px cell -> ~25 px
     poly = polys[("c_1_1", b.cell_value)]
     side = poly[:, 0].max() - poly[:, 0].min()
-    assert 2.0 < side < 4.0
+    assert 20.0 < side < 30.0
+    # cross-consistency: every assigned transcript falls inside its own
+    # cell polygon's bbox (regression: polygons were micron-scaled
+    # while transcripts stayed in pixels)
+    for cid, grp in assigned.groupby(f.cell_id):
+        p = polys[(cid, b.cell_value)]
+        assert (grp[f.x] >= p[:, 0].min() - 1).all()
+        assert (grp[f.x] <= p[:, 0].max() + 1).all()
+        assert (grp[f.y] >= p[:, 1].min() - 1).all()
+        assert (grp[f.y] <= p[:, 1].max() + 1).all()
 
 
 def test_cosmx_preflight(cosmx_dir):

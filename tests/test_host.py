@@ -194,3 +194,36 @@ def test_threshold_yen_matches_published_pairing(rng):
             rng.normal(0.2, 0.08, n1), rng.normal(0.75, 0.1, n2),
         ])
         assert abs(threshold_yen(v) - published_yen(v)) < 1e-9
+
+
+def test_louvain_move_criterion(rng):
+    """A node tightly bound to its community must not be pulled out by
+    a weak external edge (review r2: gains were compared against 0
+    instead of against re-inserting into the own community)."""
+    import scipy.sparse as sp
+
+    from segger_tpu.data.clustering import louvain
+
+    rows = [0, 1, 0, 2, 1, 2, 3, 4, 0, 3]
+    cols = [1, 0, 2, 0, 2, 1, 4, 3, 3, 0]
+    w = [1, 1, 1, 1, 1, 1, 1, 1, 0.05, 0.05]
+    A = sp.coo_matrix((w, (rows, cols)), shape=(5, 5)).tocsr()
+    lab = louvain(A, seed=0)
+    assert lab[0] == lab[1] == lab[2]
+    assert lab[3] == lab[4] != lab[0]
+
+    # planted 4-block partition is recovered exactly
+    n, kc = 200, 4
+    truth = np.repeat(np.arange(kc), n // kc)
+    rr, cc, ww = [], [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            p = 0.3 if truth[i] == truth[j] else 0.01
+            if rng.uniform() < p:
+                rr += [i, j]
+                cc += [j, i]
+                ww += [1.0, 1.0]
+    A = sp.coo_matrix((ww, (rr, cc)), shape=(n, n)).tocsr()
+    from sklearn.metrics import adjusted_rand_score
+
+    assert adjusted_rand_score(truth, louvain(A, seed=0)) > 0.95
