@@ -199,7 +199,7 @@ void sgt_grid_knn(
     const double* qpts, int64_t nq,
     int32_t k, double max_dist,
     int64_t* out_idx, double* out_dist) {
-    if (n == 0 || nq == 0) return;
+    if (n == 0 || nq == 0 || k <= 0) return;
     Grid grid;
     grid.build(pts, n, max_dist > 0 && std::isfinite(max_dist)
                            ? max_dist

@@ -73,9 +73,15 @@ def _parse_numpydoc_params(docstring: str) -> Dict[str, str]:
         if in_params and set(stripped) == {"-"} and stripped:
             continue
         if in_params:
+            # a header is "name : type" (numpydoc's space-colon) or a
+            # bare identifier — a description line that merely contains
+            # a colon ("adaptive: split by count") must not start a
+            # bogus parameter and truncate the real help text
             if stripped and not line.startswith((" " * 8, "\t\t")) and (
-                ":" in stripped or stripped.isidentifier()
-            ) and not line.startswith(" " * 8):
+                (" : " in stripped
+                 and stripped.split(" : ")[0].strip().isidentifier())
+                or stripped.isidentifier()
+            ):
                 # new parameter header like "name : type"
                 if current:
                     out[current] = " ".join(buf).strip()

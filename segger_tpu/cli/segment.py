@@ -33,6 +33,7 @@ _PIPELINE_NAMES = [
     "tiling_margin_prediction",
     "gene_corr_reference_path",
     "gene_missing_strategy",
+    "seed",
 ]
 _TRAIN_NAMES = [
     "in_channels",
@@ -60,6 +61,10 @@ _TRAIN_NAMES = [
     "tiles_per_step",
     "shape_merge",
     "seed",
+    "checkpoint_every",
+    "checkpoint_dir",
+    "scan_steps",
+    "tile_cache_gb",
 ]
 
 

@@ -48,7 +48,9 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         cache.mkdir(parents=True, exist_ok=True)
         so = cache / f"_spatial_{digest}.so"
         if not so.exists():
-            tmp = so.with_suffix(".tmp.so")
+            # per-process tmp: concurrent builders (multi-process
+            # launches) must not interleave writes into one file
+            tmp = so.with_suffix(f".tmp.{os.getpid()}.so")
             cmd = [
                 "g++", "-O3", "-march=native", "-fopenmp", "-shared",
                 "-fPIC", str(_SRC), "-o", str(tmp),
@@ -64,7 +66,13 @@ def _build_lib() -> Optional[ctypes.CDLL]:
                 )
                 return None
             os.replace(tmp, so)
-        lib = ctypes.CDLL(str(so))
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            # a corrupt cached .so would otherwise disable the native
+            # core forever; drop it so the next process rebuilds
+            so.unlink(missing_ok=True)
+            raise
         lib.sgt_points_in_polygons.restype = ctypes.c_int64
         lib.sgt_points_in_boxes.restype = ctypes.c_int64
         lib.sgt_version.restype = ctypes.c_int
@@ -141,9 +149,14 @@ def grid_knn(
     q = pts if query is None else np.ascontiguousarray(
         query, dtype=np.float64
     )
-    out = np.empty((len(q), max_k), dtype=np.int64)
-    dist = np.empty((len(q), max_k), dtype=np.float64) if return_dist \
-        else None
+    if max_k <= 0:
+        raise ValueError(f"max_k must be positive, got {max_k}")
+    # pre-filled padding: the C side returns early for empty inputs
+    # without touching the buffers (np.empty would hand back garbage
+    # indices that pass the >= 0 validity filter downstream)
+    out = np.full((len(q), max_k), -1, dtype=np.int64)
+    dist = np.full((len(q), max_k), np.inf, dtype=np.float64) \
+        if return_dist else None
     lib.sgt_grid_knn(
         _ptr(pts, ctypes.c_double), ctypes.c_int64(len(pts)),
         _ptr(q, ctypes.c_double), ctypes.c_int64(len(q)),

@@ -49,7 +49,13 @@ def get_neighbor_frequencies(
     max_distance: Optional[float] = None,
 ) -> pd.DataFrame:
     """Neighbor cell-type frequencies per cell
-    (reference: contamination.py:40-100, cuML kNN -> scipy KDTree)."""
+    (reference: contamination.py:40-100, cuML kNN -> scipy KDTree).
+
+    Reference-parity note: the query set equals the fit set, so each
+    cell counts ITSELF among its k neighbors (the reference's cuML
+    kneighbors does the same and never drops self) — own-type frequency
+    includes a 1/k self contribution; calculate_contamination zeroes
+    the host-type column downstream."""
     from scipy.spatial import KDTree
 
     X = np.asarray(ad.obsm[obsm], dtype=np.float64)
@@ -171,15 +177,26 @@ def calculate_contamination(
     gene_idx = map_with_default(adata.var.index, gn_map)[cols]
     missing_gene = gene_idx == -1
 
-    # per-transcript source likelihoods (contamination.py:169-179)
-    P_self = np.where(missing_gene, eps, L[host_ct_idx, gene_idx])
+    # per-transcript source likelihoods (contamination.py:169-179).
+    # Cells whose type is absent from the reference (host_ct_idx == -1)
+    # get P_self = eps — NOT L[-1, g], which would silently read the
+    # last reference type's row
+    missing_type = host_ct_idx < 0
+    P_self = np.where(
+        missing_gene | missing_type,
+        eps,
+        L[np.maximum(host_ct_idx, 0), gene_idx],
+    )
     nv = neigh[rows].copy()
-    valid = (~missing_gene) & (host_ct_idx >= 0)
+    valid = (~missing_gene) & (~missing_type)
     iv = np.nonzero(valid)[0]
     if iv.size:
         nv[iv, host_ct_idx[iv]] = 0.0
-    P_neigh = (nv * L[:, gene_idx].T).sum(axis=1) + eps
-    P_back = A @ L[:, gene_idx] + eps
+    # one (n_types, nnz) gather serves both terms; einsum avoids the
+    # transposed copy (the gather is the dominant allocation here)
+    Lg = L[:, gene_idx]
+    P_neigh = np.einsum("nt,tn->n", nv, Lg) + eps
+    P_back = A @ Lg + eps
 
     q_self = alpha_self * P_self
     q_neigh = alpha_neighbor * P_neigh
@@ -296,7 +313,15 @@ def group_reference(
     n_pos_cells_col: str = "n",
 ) -> pd.DataFrame:
     """Aggregate reference rows into user-defined cell-type groups
-    (reference: contamination.py:293-353)."""
+    (reference: contamination.py:293-353).
+
+    Reference-parity note: n_cells sums only over rows PRESENT in the
+    summary (types with zero positive cells for a gene contribute no
+    row), exactly as the reference's group_by().agg(pl.sum) does —
+    percent-positive can therefore be overestimated for genes missing
+    from part of a group.  Build the summary with
+    ``expression_summary_from_anndata(..., keep_zeros=True)`` if every
+    (type, gene) pair must be represented."""
     ref = reference.copy()
     ref[cell_type_name_col] = ref[cell_type_name_col].map(
         lambda x: grouping.get(x, x)
@@ -330,12 +355,17 @@ def expression_summary_from_anndata(
     raw_layer: str,
     min_counts: int = 2,
     target_sum: float = 1e4,
+    keep_zeros: bool = False,
 ) -> pd.DataFrame:
     """CellxGene-style expression summary
     (reference: contamination.py:355-407): normalize to ``target_sum``,
     log1p, zero entries below ``min_counts`` raw, then per-(type, gene)
     positive-cell count ``n``, mean expression in positive cells ``me``,
-    cells per type ``n_cells_cell_type``, percent positive ``pc``."""
+    cells per type ``n_cells_cell_type``, percent positive ``pc``.
+
+    ``keep_zeros=True`` emits a row for EVERY (type, gene) pair (n=0
+    rows included) so that :func:`group_reference`'s summed n_cells
+    denominators stay exact for genes absent from part of a group."""
     raw = ad.layers[raw_layer].tocsr().astype(np.float64)
     libsize = np.asarray(raw.sum(1)).ravel()
     scale = np.where(libsize > 0, target_sum / np.maximum(libsize, 1e-12),
@@ -365,14 +395,18 @@ def expression_summary_from_anndata(
     rows = []
     genes = ad.var.index.to_numpy().astype(str)
     for t in range(n_types):
-        nz = np.nonzero(n_pos[t] > 0)[0]
+        nz = (
+            np.arange(n_pos.shape[1])
+            if keep_zeros
+            else np.nonzero(n_pos[t] > 0)[0]
+        )
         for g in nz:
             rows.append(
                 (
                     str(types[t]),
                     genes[g],
                     int(n_pos[t, g]),
-                    sums[t, g] / n_pos[t, g],
+                    sums[t, g] / n_pos[t, g] if n_pos[t, g] else 0.0,
                     int(n_cells[t]),
                 )
             )

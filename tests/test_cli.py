@@ -149,3 +149,39 @@ def test_segment_distributed_train_and_predict(dataset, tmp_path):
     seg = pd.read_parquet(out / "segger_segmentation.parquet")
     assert len(seg) > 0
     assert seg["segger_cell_id"].notna().mean() > 0.3
+
+
+def test_every_config_field_reaches_its_config():
+    """Every registered dataclass field must be collected into the
+    pipeline or train kwargs (review r2: --checkpoint-dir etc. were
+    accepted but silently dropped)."""
+    import dataclasses
+
+    import segger_tpu.cli.segment as seg
+    from segger_tpu.pipeline import PipelineConfig
+    from segger_tpu.train.trainer import TrainConfig
+
+    pf = {f.name for f in dataclasses.fields(PipelineConfig)}
+    tf = {f.name for f in dataclasses.fields(TrainConfig)}
+    assert pf <= set(seg._PIPELINE_NAMES)
+    assert tf <= set(seg._TRAIN_NAMES)
+
+
+def test_numpydoc_description_colon_not_a_header():
+    """Description lines containing ':' must not truncate help text
+    (review r2)."""
+    from segger_tpu.cli.registry import _parse_numpydoc_params
+
+    doc = (
+        "Summary.\n\n"
+        "    Parameters\n"
+        "    ----------\n"
+        "    tiling_mode : str\n"
+        "        adaptive: split by node count\n"
+        "    seed\n"
+        "        RNG seed.\n"
+    )
+    out = _parse_numpydoc_params(doc)
+    assert "adaptive" not in out
+    assert "split by node count" in out["tiling_mode"]
+    assert out["seed"] == "RNG seed."
