@@ -122,6 +122,17 @@ class AnnDataLite:
                         _write_matrix(g, k, v)
                     elif isinstance(v, (str, int, float, np.integer, np.floating)):
                         g[k] = v
+                    elif v is None:
+                        continue  # anndata also drops None uns entries
+                    elif not isinstance(v, dict):
+                        import warnings
+
+                        warnings.warn(
+                            f"write_h5ad: dropping {group}[{k!r}] of "
+                            f"unsupported type {type(v).__name__} — it "
+                            "will be missing after a read round-trip"
+                        )
+                        continue
                     elif isinstance(v, dict):
                         sub = g.create_group(k)
                         sub.attrs["encoding-type"] = "dict"

@@ -258,7 +258,19 @@ def setup_features(
                 "compute_morphology=True requires morphology_props "
                 "(per-cell shape features indexed by cell_id)"
             )
-        props = morphology_props.loc[ad.obs.index]
+        # reindex (not .loc): cells whose polygon was dropped by
+        # geometry repair still appear in the transcript-derived obs
+        # index — they get zero morphology rather than a KeyError
+        props = morphology_props.reindex(ad.obs.index)
+        n_missing = int(props.isna().any(axis=1).sum())
+        if n_missing:
+            import warnings
+
+            warnings.warn(
+                f"{n_missing} cells lack a valid cell polygon; their "
+                "morphology features are zero-filled."
+            )
+            props = props.fillna(0.0)
         for col in props.columns:
             ad.obs[col] = props[col].to_numpy()
         ad.obsm["X_morphology"] = props.to_numpy(dtype=np.float32)

@@ -119,8 +119,16 @@ class TileGraph:
 
 
 def pad_axis(a: np.ndarray, n: int, fill=0) -> np.ndarray:
-    """Pad axis 0 of ``a`` to length ``n`` with ``fill``."""
-    if a.shape[0] >= n:
-        return a[:n]
+    """Pad axis 0 of ``a`` to length ``n`` with ``fill``.
+
+    Raises on overflow — silently truncating would drop valid
+    nodes/edges and mask bucket-sizing bugs as quietly wrong output."""
+    if a.shape[0] == n:
+        return a
+    if a.shape[0] > n:
+        raise ValueError(
+            f"pad_axis: array of length {a.shape[0]} exceeds target "
+            f"{n} — bucket sized too small for this tile"
+        )
     pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
     return np.pad(a, pad, constant_values=fill)

@@ -39,6 +39,26 @@ def _read_polygon(buf: memoryview, off: int, little: bool, dims: int):
     return exterior, off
 
 
+def _type_dims(gtype: int):
+    """(base_type, dims) from an ISO or EWKB geometry type word.
+
+    ISO WKB: type + 1000*Z + 2000*M (ZM = +3000).  EWKB (PostGIS):
+    flag bits 0x80000000 (Z) and 0x40000000 (M).  dims = 2 + Z + M.
+    """
+    has_z = bool(gtype & 0x80000000)
+    has_m = bool(gtype & 0x40000000)
+    code = gtype & 0x0FFFFFFF
+    base = code % 1000
+    iso_flag = (code // 1000) % 10
+    if iso_flag == 1:
+        has_z = True
+    elif iso_flag == 2:
+        has_m = True
+    elif iso_flag == 3:
+        has_z = has_m = True
+    return base, 2 + int(has_z) + int(has_m)
+
+
 def wkb_to_polygon(blob: bytes) -> Optional[np.ndarray]:
     """Decode one WKB geometry to its (largest) exterior ring (V, 2).
 
@@ -50,13 +70,7 @@ def wkb_to_polygon(blob: bytes) -> Optional[np.ndarray]:
     off += 1
     (gtype,) = struct.unpack_from("<I" if little else ">I", buf, off)
     off += 4
-    has_z = bool(gtype & 0x80000000) or (1000 <= (gtype % 10000) // 1000)
-    base = gtype & 0xFF
-    # ISO WKB: type + 1000 for Z
-    if gtype >= 1000 and gtype < 4000:
-        base = gtype % 1000
-        has_z = gtype >= 1000
-    dims = 3 if has_z else 2
+    base, dims = _type_dims(gtype)
 
     if base == _POLYGON:
         poly, _ = _read_polygon(buf, off, little, dims)
@@ -73,7 +87,7 @@ def wkb_to_polygon(blob: bytes) -> Optional[np.ndarray]:
                 "<I" if sub_little else ">I", buf, off
             )
             off += 4
-            sub_dims = 3 if (sub_type % 10000) >= 1000 else 2
+            _, sub_dims = _type_dims(sub_type)
             poly, off = _read_polygon(buf, off, sub_little, sub_dims)
             if poly is not None and len(poly) >= 3:
                 x, y = poly[:, 0], poly[:, 1]

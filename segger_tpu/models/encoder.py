@@ -149,10 +149,12 @@ class HeteroGATLayer(nn.Module):
         )
         if self.use_bd_to_tx and tile.bt is not None:
             conv_bt = GATv2Conv(
-                self.out_channels, self.heads, dropout=self.dropout, name="bt"
+                self.out_channels, self.heads, dropout=self.dropout,
+                dtype=self.dtype, name="bt"
             )
             out_tx = out_tx + conv_bt(
-                x_bd_src, x_tx, tile.bt, deterministic
+                x_bd_src, x_tx, tile.bt, deterministic,
+                capture_attention=capture_attention,
             )
         return out_tx, out_bd
 

@@ -69,9 +69,10 @@ class ISTPipeline:
         transcripts: pd.DataFrame,
         boundaries: pd.DataFrame,
         polygons: dict,
-        config: PipelineConfig = PipelineConfig(),
+        config: Optional[PipelineConfig] = None,
     ):
         """``polygons``: (cell_id, boundary_type) -> (V, 2) vertex array."""
+        config = PipelineConfig() if config is None else config
         self.tx_f = StandardTranscriptFields()
         self.bd_f = StandardBoundaryFields()
         self.transcripts = transcripts
@@ -191,11 +192,13 @@ class ISTPipeline:
     def run(
         self,
         output_directory,
-        train_config: TrainConfig = TrainConfig(),
+        train_config: Optional[TrainConfig] = None,
         save_anndata: bool = True,
         debug: bool = False,
     ) -> pd.DataFrame:
         """fit + predict + write (reference: cli/segment.py:336-413)."""
+        if train_config is None:
+            train_config = TrainConfig()
         if self.graph is None:
             self.load()
         trainer = SeggerTrainer(self.graph, train_config)
