@@ -247,3 +247,74 @@ def cosine_weight_schedule(
     if normalize:
         w = w / (w.sum() + 1e-8)
     return w.astype(np.float32)
+
+
+def loss_stats(
+    k_tx,
+    k_bd,
+    k_sg,
+    emb,
+    tile,
+    tx_similarity,
+    bd_similarity,
+    *,
+    tx_margin: float,
+    sg_margin: float,
+    sg_loss_type: str,
+    use_interior: bool,
+    sg_tx=None,
+):
+    """Stacked (sum, count) statistics of the three losses for one tile.
+
+    The one shared implementation behind the tiled trainer and the 1-D /
+    2-D sharded train steps (they previously re-spelled this block):
+    masks, host-precomputed sampler structures, triplet + metric +
+    segmentation losses.
+
+    ``use_interior`` restricts the tx/bd masks to tile interiors
+    (margin-tile training semantics; whole-slide sharded training has no
+    margins).  ``sg_tx`` overrides the tx embeddings used by the link
+    loss (the sharded paths pass halo-extended embeddings because
+    supervision sources live in extended index space).
+
+    Returns jnp.stack([s_tx, c_tx, s_bd, c_bd, s_sg, c_sg]) (f32) —
+    summable across tiles/shards before forming the masked means.
+    """
+    import jax.numpy as jnp
+
+    tx_mask = tile.tx_valid & (tile.tx_cluster >= 0)
+    bd_mask = tile.bd_valid & (tile.bd_cluster >= 0)
+    if use_interior:
+        tx_mask &= tile.tx_interior
+        bd_mask &= tile.bd_interior
+    tx_sort = (
+        (tile.tx_sampler_sorted, tile.tx_sampler_counts)
+        if tile.tx_sampler_sorted is not None
+        else None
+    )
+    bd_sort = (
+        (tile.bd_sampler_sorted, tile.bd_sampler_counts)
+        if tile.bd_sampler_sorted is not None
+        else None
+    )
+    s_tx, c_tx = triplet_loss(
+        k_tx, emb["tx"], tile.tx_cluster, tx_mask, tx_similarity,
+        margin=tx_margin, sort_structure=tx_sort,
+    )
+    s_bd, c_bd = metric_loss(
+        k_bd, emb["bd"], tile.bd_cluster, bd_mask, bd_similarity,
+        sort_structure=bd_sort,
+    )
+    s_sg, c_sg = segmentation_loss(
+        k_sg,
+        emb["tx"] if sg_tx is None else sg_tx,
+        emb["bd"],
+        tile.sg_src, tile.sg_dst, tile.sg_mask,
+        tile.bd_valid.sum(),
+        loss_type=sg_loss_type, margin=sg_margin,
+    )
+    return jnp.stack(
+        [s_tx, c_tx.astype(jnp.float32),
+         s_bd, c_bd.astype(jnp.float32),
+         s_sg, c_sg.astype(jnp.float32)]
+    )

@@ -629,36 +629,14 @@ def make_grid_train_step(
             exchange=lambda x_tx, x_bd: (ex_tx(x_tx), None),
             pos_prenormalized=True,
         )
-        tx_mask = tile.tx_valid & (tile.tx_cluster >= 0)
-        bd_mask = tile.bd_valid & (tile.bd_cluster >= 0)
-        tx_sort = (
-            (tile.tx_sampler_sorted, tile.tx_sampler_counts)
-            if tile.tx_sampler_sorted is not None else None
-        )
-        bd_sort = (
-            (tile.bd_sampler_sorted, tile.bd_sampler_counts)
-            if tile.bd_sampler_sorted is not None else None
-        )
-        s_tx, c_tx = L.triplet_loss(
-            k_tx, emb["tx"], tile.tx_cluster, tx_mask, tx_similarity,
-            margin=tx_margin, sort_structure=tx_sort,
-        )
-        s_bd, c_bd = L.metric_loss(
-            k_bd, emb["bd"], tile.bd_cluster, bd_mask, bd_similarity,
-            sort_structure=bd_sort,
-        )
+        # supervision srcs live in extended index space
         x_tx_ext = jnp.concatenate(ex_tx(emb["tx"]), axis=0)
-        s_sg, c_sg = L.segmentation_loss(
-            k_sg, x_tx_ext, emb["bd"],
-            tile.sg_src, tile.sg_dst, tile.sg_mask,
-            tile.bd_valid.sum(),
-            loss_type=sg_loss_type, margin=sg_margin,
+        return L.loss_stats(
+            k_tx, k_bd, k_sg, emb, tile, tx_similarity, bd_similarity,
+            tx_margin=tx_margin, sg_margin=sg_margin,
+            sg_loss_type=sg_loss_type, use_interior=False,
+            sg_tx=x_tx_ext,
         )
-        return jnp.stack([
-            s_tx, c_tx.astype(jnp.float32),
-            s_bd, c_bd.astype(jnp.float32),
-            s_sg, c_sg.astype(jnp.float32),
-        ])
 
     def device_fn(params, opt_state, tile, halo, key, weights):
         tile = jax.tree.map(lambda x: x[0], tile)

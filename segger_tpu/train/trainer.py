@@ -209,38 +209,10 @@ class SeggerTrainer:
                 params, tile, deterministic=deterministic,
                 rngs={"dropout": k_drop},
             )
-            tx_mask = tile.tx_interior & tile.tx_valid & (tile.tx_cluster >= 0)
-            bd_mask = (
-                tile.bd_interior & tile.bd_valid & (tile.bd_cluster >= 0)
-            )
-            tx_sort = (
-                (tile.tx_sampler_sorted, tile.tx_sampler_counts)
-                if tile.tx_sampler_sorted is not None
-                else None
-            )
-            bd_sort = (
-                (tile.bd_sampler_sorted, tile.bd_sampler_counts)
-                if tile.bd_sampler_sorted is not None
-                else None
-            )
-            s_tx, c_tx = L.triplet_loss(
-                k_tx, emb["tx"], tile.tx_cluster, tx_mask, tx_sim,
-                margin=cfg.tx_margin, sort_structure=tx_sort,
-            )
-            s_bd, c_bd = L.metric_loss(
-                k_bd, emb["bd"], tile.bd_cluster, bd_mask, bd_sim,
-                sort_structure=bd_sort,
-            )
-            n_bd_valid = tile.bd_valid.sum()
-            s_sg, c_sg = L.segmentation_loss(
-                k_sg, emb["tx"], emb["bd"],
-                tile.sg_src, tile.sg_dst, tile.sg_mask, n_bd_valid,
-                loss_type=cfg.sg_loss_type, margin=cfg.sg_margin,
-            )
-            return jnp.stack(
-                [s_tx, c_tx.astype(jnp.float32),
-                 s_bd, c_bd.astype(jnp.float32),
-                 s_sg, c_sg.astype(jnp.float32)]
+            return L.loss_stats(
+                k_tx, k_bd, k_sg, emb, tile, tx_sim, bd_sim,
+                tx_margin=cfg.tx_margin, sg_margin=cfg.sg_margin,
+                sg_loss_type=cfg.sg_loss_type, use_interior=True,
             )
 
         def loss_fn(params, batch: TileGraph, key, weights,
