@@ -76,7 +76,9 @@ def main():
 
     cfg = PipelineConfig(
         cells_embedding_size=64,
-        genes_min_counts=50,
+        # the gene filter counts NUCLEAR transcripts; at smoke scales a
+        # fixed 50 would discard most genes (and their transcripts)
+        genes_min_counts=min(50, max(5, n_tx // 400)),
         cells_min_counts=5,
         tiling_nodes_per_tile=args.tile_nodes,
         tiling_margin_training=10.0,
@@ -157,7 +159,12 @@ def main():
     with open(f"{out_dir}/run_log.json", "w") as f:
         json.dump(log, f, indent=2)
     print(f"run log: {out_dir}/run_log.json")
-    assert n_polys > 0.8 * assigned["segger_cell_id"].nunique()
+    # only cells with >= 4 assigned transcripts can produce a Delaunay
+    # outline; compare coverage against those
+    can_outline = int(
+        (assigned.groupby("segger_cell_id").size() >= 4).sum()
+    )
+    assert n_polys > 0.8 * can_outline, (n_polys, can_outline)
 
 
 if __name__ == "__main__":
