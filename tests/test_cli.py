@@ -185,3 +185,33 @@ def test_numpydoc_description_colon_not_a_header():
     assert "adaptive" not in out
     assert "split by node count" in out["tiling_mode"]
     assert out["seed"] == "RNG seed."
+
+
+def test_preprocess_command_standardizes_raw_merscope(tmp_path):
+    """`segger-tpu preprocess` on a raw vendor directory writes the
+    standardized dataset, which then auto-infers as 'standard'."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from segger_tpu.data.synthetic import (
+        make_synthetic,
+        write_merscope_like,
+    )
+
+    s = make_synthetic(n_cells=60, n_genes=20, mean_tx_per_cell=15,
+                       seed=1)
+    raw = write_merscope_like(tmp_path / "raw", s)
+    out = tmp_path / "std"
+    r = run_cli("preprocess", "-i", raw, "-o", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "transcripts.parquet").exists()
+    assert (out / "boundaries.parquet").exists()
+
+    from segger_tpu.io import get_preprocessor
+
+    pp = get_preprocessor(out)
+    assert type(pp).__name__ == "StandardPreprocessor"
+    tx = pp.transcripts
+    assert len(tx) == len(s.transcripts)
