@@ -30,6 +30,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.assemble import HostGraph
 from ..data.graph import TileGraph
+from ._build_common import (
+    NodePartition,
+    assemble_shard_tiles,
+    mk_send,
+    round_up as _round_up,
+    shard_csr as _shard_csr,
+)
 
 
 @struct.dataclass
@@ -55,10 +62,6 @@ def _strip_assign(x: np.ndarray, n_shards: int) -> Tuple[np.ndarray, np.ndarray]
     qs = np.quantile(x, np.linspace(0, 1, n_shards + 1)[1:-1])
     shard = np.searchsorted(qs, x, side="right")
     return shard.astype(np.int64), qs
-
-
-def _round_up(x, m):
-    return max(m, -(-int(x) // m) * m)
 
 
 def build_sharded_graph(
@@ -88,21 +91,9 @@ def build_sharded_graph(
         qs, graph.bd_pos[:, 0], side="right"
     ).astype(np.int64)
 
-    # global [0,1] normalization for positional embeddings
-    lo = np.vstack([graph.tx_pos, graph.bd_pos]).min(axis=0)
-    hi = np.vstack([graph.tx_pos, graph.bd_pos]).max(axis=0)
-    scale = (hi - lo) + 1e-8
-
-    # local orders + index maps
-    tx_rows = [np.where(tx_shard == d)[0] for d in range(D)]
-    bd_rows = [np.where(bd_shard == d)[0] for d in range(D)]
-    P_ = _round_up(max(r.size for r in tx_rows), round_nodes)
-    Q_ = _round_up(max(max(r.size for r in bd_rows), 1), round_nodes)
-    tx_local = np.full(graph.n_tx, -1, np.int64)
-    bd_local = np.full(graph.n_bd, -1, np.int64)
-    for d in range(D):
-        tx_local[tx_rows[d]] = np.arange(tx_rows[d].size)
-        bd_local[bd_rows[d]] = np.arange(bd_rows[d].size)
+    part = NodePartition(graph, tx_shard, bd_shard, D, round_nodes)
+    tx_local, bd_local = part.tx_local, part.bd_local
+    P_, Q_ = part.P, part.Q
 
     # ------------------------------------------------------------------
     # send sets: for every cross-shard edge, the src must be in the
@@ -162,22 +153,10 @@ def build_sharded_graph(
     )
 
     # ordered send lists + position maps (global id -> slot)
-    def mk_send(send_sets, width, local_map):
-        idx = np.zeros((D, width), np.int32)
-        mask = np.zeros((D, width), bool)
-        slot_of = [dict() for _ in range(D)]
-        for d in range(D):
-            ordered = np.sort(np.fromiter(send_sets[d], dtype=np.int64))
-            for j, g in enumerate(ordered):
-                idx[d, j] = local_map[g]
-                mask[d, j] = True
-                slot_of[d][g] = j
-        return idx, mask, slot_of
-
-    sr_tx_idx, sr_tx_m, sr_tx_slot = mk_send(send_right_tx, H, tx_local)
-    sl_tx_idx, sl_tx_m, sl_tx_slot = mk_send(send_left_tx, H, tx_local)
-    sr_bd_idx, sr_bd_m, sr_bd_slot = mk_send(send_right_bd, Hq, bd_local)
-    sl_bd_idx, sl_bd_m, sl_bd_slot = mk_send(send_left_bd, Hq, bd_local)
+    sr_tx_idx, sr_tx_m, sr_tx_slot = mk_send(send_right_tx, D, H, tx_local)
+    sl_tx_idx, sl_tx_m, sl_tx_slot = mk_send(send_left_tx, D, H, tx_local)
+    sr_bd_idx, sr_bd_m, sr_bd_slot = mk_send(send_right_bd, D, Hq, bd_local)
+    sl_bd_idx, sl_bd_m, sl_bd_slot = mk_send(send_left_bd, D, Hq, bd_local)
 
     # extended index of a source node as seen from consumer shard d:
     #   local -> tx_local[g]
@@ -201,168 +180,35 @@ def build_sharded_graph(
             return Q_ + Hq + sl_bd_slot[d + 1][g]
         return -1
 
-    # ------------------------------------------------------------------
     # per-shard CSR tables in extended index space
-    # ------------------------------------------------------------------
-    def ext_many(src_global, d, src_shard_arr, src_local_map, ext_fn):
-        """Vectorized extended-index lookup: same-shard sources (the
-        overwhelming majority) resolve by local map; Python only runs
-        on the cross-shard boundary tail."""
-        out = np.empty(src_global.size, np.int64)
-        same = src_shard_arr[src_global] == d
-        out[same] = src_local_map[src_global[same]]
-        for i in np.where(~same)[0]:
-            out[i] = ext_fn(int(src_global[i]), d)
-        return out
-
-    from ..ops.padded_csr import coo_to_padded_csr
-
-    def shard_csr(dst_rows_global, src_global, dst_shard_arr,
-                  dst_local_map, n_rows, src_shard_arr, src_local_map,
-                  ext_fn, k_round=4):
-        """Build per-shard padded CSR: entries grouped by dst shard."""
-        tables = []
-        for d in range(D):
-            sel = dst_shard_arr[dst_rows_global] == d
-            dsts = dst_local_map[dst_rows_global[sel]]
-            srcs = ext_many(src_global[sel], d, src_shard_arr,
-                            src_local_map, ext_fn)
-            keep = srcs >= 0
-            tables.append((dsts[keep], srcs[keep]))
-        kmax = 1
-        for dsts, _ in tables:
-            if dsts.size:
-                kmax = max(kmax, int(np.bincount(dsts).max()))
-        kmax = _round_up(kmax, k_round)
-        return [
-            coo_to_padded_csr(d_, s_, n_dst=n_rows, k=kmax)
-            for d_, s_ in tables
-        ]
-
-    tt_tables = shard_csr(
-        graph.tt_dst, graph.tt_src, tx_shard, tx_local, P_,
+    tt_tables = _shard_csr(
+        D, graph.tt_dst, graph.tt_src, tx_shard, tx_local, P_,
         tx_shard, tx_local, ext_tx_index,
     )
-    tb_tables = shard_csr(
-        graph.sg_dst, graph.sg_src, bd_shard, bd_local, Q_,
+    tb_tables = _shard_csr(
+        D, graph.sg_dst, graph.sg_src, bd_shard, bd_local, Q_,
         tx_shard, tx_local, ext_tx_index, k_round=8,
     )
     # cand: rows tx (local), entries bd (extended)
-    cand_tables = shard_csr(
-        graph.cand_src, graph.cand_dst, tx_shard, tx_local, P_,
+    cand_tables = _shard_csr(
+        D, graph.cand_src, graph.cand_dst, tx_shard, tx_local, P_,
         bd_shard, bd_local, ext_bd_index,
     )
 
-    # sg COO per shard (dst bd local, src tx extended)
-    E_sg = _round_up(
-        max(
-            [1]
-            + [
-                int((bd_shard[graph.sg_dst] == d).sum())
-                for d in range(D)
-            ]
-        ),
-        256,
+    # per-shard TileGraphs; training shards carry extended-space
+    # transpose tables (gradients route back through the same gather
+    # duality as local tiles, then through the exchange's ppermute VJP
+    # to the owning shard) + sampler blocks
+    tiles = assemble_shard_tiles(
+        graph, part, ext_tx_index, tt_tables, tb_tables, cand_tables,
+        for_training, n_src_ext=P_ + 2 * H,
     )
 
-    def padn(a, n, fill=0):
-        pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-        return np.pad(a, pad, constant_values=fill)
-
-    # training extras: extended-space transpose tables (gradients route
-    # back through the same gather duality as local tiles, then through
-    # the exchange's ppermute VJP to the owning shard) + sampler blocks
-    tt_t_tables = tb_t_tables = None
-    if for_training:
-        from ..ops.padded_csr import transpose_csr
-
-        n_src_ext = P_ + 2 * H
-
-        def ext_transposes(tables):
-            width = 4
-            for t in tables:
-                srcs = np.asarray(t.idx)[np.asarray(t.mask)]
-                if srcs.size:
-                    width = max(width, _round_up(
-                        int(np.bincount(srcs, minlength=n_src_ext).max()),
-                        4,
-                    ))
-            return [
-                transpose_csr(t, n_src=n_src_ext, k=width) for t in tables
-            ]
-
-        tt_t_tables = ext_transposes(tt_tables)
-        tb_t_tables = ext_transposes(tb_tables)
-
-    tiles = []
+    # static extended bd_index for prediction
     bd_index_ext = np.full((D, Q_ + 2 * Hq), -1, np.int64)
     for d in range(D):
-        txr, bdr = tx_rows[d], bd_rows[d]
-        ntx, nbd = txr.size, bdr.size
-        sel = bd_shard[graph.sg_dst] == d
-        sgs = ext_many(graph.sg_src[sel], d, tx_shard, tx_local,
-                       ext_tx_index)
-        sgd = bd_local[graph.sg_dst[sel]]
-        keep = sgs >= 0
-        sgs, sgd = sgs[keep], sgd[keep]
-        n_sg = min(sgs.size, E_sg)
-
-        pos_tx = (graph.tx_pos[txr] - lo) / scale
-        pos_bd = (graph.bd_pos[bdr] - lo) / scale
-
-        extra = {}
-        if for_training:
-            from ..data.partition import _sampler_structure
-
-            tx_ss, tx_sc = _sampler_structure(
-                padn(graph.tx_cluster[txr], P_, -1),
-                np.ones(ntx, bool), ntx, P_,
-                graph.tx_similarity.shape[0],
-            )
-            bd_ss, bd_sc = _sampler_structure(
-                padn(graph.bd_cluster[bdr], Q_, -1),
-                np.ones(nbd, bool), nbd, Q_,
-                graph.bd_similarity.shape[0],
-            )
-            extra = dict(
-                tt_t=tt_t_tables[d],
-                tb_t=tb_t_tables[d],
-                transposes_extended=True,
-                tx_sampler_sorted=tx_ss,
-                tx_sampler_counts=tx_sc,
-                bd_sampler_sorted=bd_ss,
-                bd_sampler_counts=bd_sc,
-            )
-
-        tiles.append(
-            TileGraph(
-                tx_gene=padn(graph.tx_gene[txr], P_),
-                tx_pos=padn(pos_tx.astype(np.float32), P_),
-                tx_cluster=padn(graph.tx_cluster[txr], P_, -1),
-                tx_index=padn(
-                    graph.tx_index[txr].astype(np.int32), P_, -1
-                ),
-                tx_valid=padn(np.ones(ntx, bool), P_),
-                tx_interior=padn(np.ones(ntx, bool), P_),
-                bd_x=padn(graph.bd_x[bdr], Q_),
-                bd_pos=padn(pos_bd.astype(np.float32), Q_),
-                bd_cluster=padn(graph.bd_cluster[bdr], Q_, -1),
-                bd_index=padn(
-                    graph.bd_index[bdr].astype(np.int32), Q_, -1
-                ),
-                bd_valid=padn(np.ones(nbd, bool), Q_),
-                bd_interior=padn(np.ones(nbd, bool), Q_),
-                tt=tt_tables[d],
-                tb=tb_tables[d],
-                cand=cand_tables[d],
-                sg_src=padn(sgs[:n_sg].astype(np.int32), E_sg),
-                sg_dst=padn(sgd[:n_sg].astype(np.int32), E_sg),
-                sg_mask=padn(np.ones(n_sg, bool), E_sg),
-                **extra,
-            )
-        )
-        # static extended bd_index for prediction
-        bd_index_ext[d, :nbd] = graph.bd_index[bdr]
+        nbd = part.bd_rows[d].size
+        bd_index_ext[d, :nbd] = graph.bd_index[part.bd_rows[d]]
         if d - 1 >= 0:
             for g, j in sr_bd_slot[d - 1].items():
                 bd_index_ext[d, Q_ + j] = graph.bd_index[g]
