@@ -1,0 +1,72 @@
+"""Aggregate per-op device time from a JAX xplane trace.
+
+Usage:
+    PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
+        python tools/xplane_ops.py /tmp/segger-trace [top_n]
+
+Parses the ``/device:TPU:*`` plane's "XLA Ops" line and prints total
+device time per op name (summed over occurrences and steps), plus a
+category rollup (fusion / pallas / convert / dynamic-slice ...).  The
+tensorboard profile plugin in this image can't parse xplanes (protobuf
+generation mismatch), so this reads the proto directly.
+"""
+import collections
+import glob
+import re
+import sys
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/segger-trace"
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    files = sorted(glob.glob(f"{path}/**/*.xplane.pb", recursive=True))
+    if not files:
+        raise SystemExit(f"no xplane.pb under {path}")
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(files[-1], "rb").read())
+
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        meta = plane.event_metadata
+        by_op = collections.Counter()
+        n_occ = collections.Counter()
+        total = 0
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = meta[ev.metadata_id].name
+                by_op[name] += ev.duration_ps
+                n_occ[name] += 1
+                total += ev.duration_ps
+        print(f"== {plane.name}: XLA-op device total "
+              f"{total / 1e12 * 1e3:.3f} ms ==")
+        for name, ps in by_op.most_common(top_n):
+            print(f"{ps / 1e12 * 1e3:9.3f} ms  x{n_occ[name]:<4d} {name[:110]}")
+
+        cats = collections.Counter()
+        for name, ps in by_op.items():
+            if re.match(r"(custom-call|tpu_custom_call)", name):
+                cats["pallas/custom-call"] += ps
+            elif name.startswith("fusion") or ".fusion" in name:
+                cats["fusion"] += ps
+            elif "convert" in name:
+                cats["convert"] += ps
+            elif "dynamic" in name:
+                cats["dynamic-slice/update"] += ps
+            elif "copy" in name:
+                cats["copy"] += ps
+            elif re.match(r"(dot|convolution)", name):
+                cats["matmul"] += ps
+            else:
+                cats["other"] += ps
+        print("-- categories --")
+        for c, ps in cats.most_common():
+            print(f"{ps / 1e12 * 1e3:9.3f} ms  {c}")
+
+
+if __name__ == "__main__":
+    main()
