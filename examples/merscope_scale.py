@@ -14,6 +14,12 @@ every predicted cell.  Committed run logs: docs/runs/.
     python examples/merscope_scale.py --cpu                 # CPU mesh
     python examples/merscope_scale.py --n-cells 100000      # whole slide
 """
+import sys
+
+import os
+
+# runnable from anywhere: the repo root is the package root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 import tempfile

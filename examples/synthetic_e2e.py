@@ -8,6 +8,9 @@ canonical drive; runs on the CPU mesh in ~1 minute.
 """
 import os
 import sys
+
+# runnable from anywhere: the repo root is the package root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tempfile
 
 os.environ.setdefault(

@@ -10,6 +10,12 @@ correctness-scale numbers, or on a real pod slice for production ones.
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python examples/weak_scaling.py --cpu
 """
+import sys
+
+import os
+
+# runnable from anywhere: the repo root is the package root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 import time

@@ -12,6 +12,12 @@ docs/runs/.
     python examples/xenium_scale.py --n-cells 400000 --epochs 2 \
         --tile-nodes 50000                     # 10M-tx whole slide
 """
+import sys
+
+import os
+
+# runnable from anywhere: the repo root is the package root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 import tempfile

@@ -45,13 +45,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.assemble import HostGraph
 from ..data.graph import TileGraph
-from ._build_common import (
-    NodePartition,
-    assemble_shard_tiles,
-    mk_send,
-    round_up as _round_up,
-    shard_csr as _shard_csr,
-)
+from ._build_common import build_partitioned
 
 
 @struct.dataclass
@@ -134,204 +128,30 @@ def build_grid_sharded_graph(
     ``for_training`` additionally equips each shard with extended-space
     transpose tables (scatter-free backward through the two-stage
     exchange) and the host-precomputed triplet-sampler block structure.
+
+    Implementation: all build machinery is shared with the 1-D strip
+    builder (``_build_common.build_partitioned``; 1-D is the ``dy == 1``
+    case).  This wrapper only chooses the grid assignment and names the
+    tables.
     """
-    D = dx * dy
     tx_shard, bd_shard = _grid_assign(graph, dx, dy)
-
-    part = NodePartition(graph, tx_shard, bd_shard, D, round_nodes)
-    tx_local, bd_local = part.tx_local, part.bd_local
-    P_, Q_ = part.P, part.Q
-
-    dropped = np.zeros(3, dtype=np.int64)
-
-    # ------------------------------------------------------------------
-    # pass 1: cross-shard requirements.  For every edge whose source
-    # lives on a different shard than its consumer: stage-1 x sends for
-    # any dgx != 0, and a pending y-relay record for any dgy != 0 (the
-    # relay shard is (consumer_gx, owner_gy)).
-    # ------------------------------------------------------------------
-    xs_r_tx = [set() for _ in range(D)]
-    xs_l_tx = [set() for _ in range(D)]
-    xs_r_bd = [set() for _ in range(D)]
-    xs_l_bd = [set() for _ in range(D)]
-    pend_tx: list = []  # (g, relay_shard, dgy)
-    pend_bd: list = []
-
-    def collect(src_arr, cons_arr, shard_arr, xs_r, xs_l, pend, drop_i):
-        ogx, ogy = shard_arr[src_arr] // dy, shard_arr[src_arr] % dy
-        cgx, cgy = cons_arr // dy, cons_arr % dy
-        ddx, ddy = cgx - ogx, cgy - ogy
-        far = (np.abs(ddx) > 1) | (np.abs(ddy) > 1)
-        dropped[drop_i] += int(far.sum())
-        sel = ((ddx != 0) | (ddy != 0)) & ~far
-        for g, dxx, dyy, cx in zip(
-            src_arr[sel], ddx[sel], ddy[sel], cgx[sel]
-        ):
-            o = int(shard_arr[g])
-            if dxx == 1:
-                xs_r[o].add(g)
-            elif dxx == -1:
-                xs_l[o].add(g)
-            if dyy != 0:
-                pend.append((int(g), int(cx * dy + (o % dy)), int(dyy)))
-
-    collect(graph.tt_src, tx_shard[graph.tt_dst], tx_shard,
-            xs_r_tx, xs_l_tx, pend_tx, 0)
-    collect(graph.sg_src, bd_shard[graph.sg_dst], tx_shard,
-            xs_r_tx, xs_l_tx, pend_tx, 1)
-    collect(graph.cand_dst, tx_shard[graph.cand_src], bd_shard,
-            xs_r_bd, xs_l_bd, pend_bd, 2)
-
-    H = _round_up(
-        max([1] + [len(s) for s in xs_r_tx] + [len(s) for s in xs_l_tx]),
-        round_halo,
+    b = build_partitioned(
+        graph, tx_shard, bd_shard, dx=dx, dy=dy,
+        round_nodes=round_nodes, round_halo=round_halo,
+        for_training=for_training,
     )
-    Hq = _round_up(
-        max([1] + [len(s) for s in xs_r_bd] + [len(s) for s in xs_l_bd]),
-        round_halo,
-    )
-
-    sr_tx_i, sr_tx_m, sr_tx_s = mk_send(xs_r_tx, D, H, tx_local)
-    sl_tx_i, sl_tx_m, sl_tx_s = mk_send(xs_l_tx, D, H, tx_local)
-    sr_bd_i, sr_bd_m, sr_bd_s = mk_send(xs_r_bd, D, Hq, bd_local)
-    sl_bd_i, sl_bd_m, sl_bd_s = mk_send(xs_l_bd, D, Hq, bd_local)
-
-    # x-extended index of source g at a shard r in the owner's grid row
-    # (r's gy == owner's gy, |r_gx - owner_gx| <= 1)
-    def xext(g, r, shard_arr, local_map, P_n, Hn, sr_s, sl_s):
-        o = int(shard_arr[g])
-        if o == r:
-            return int(local_map[g])
-        if r // dy == o // dy + 1:
-            return P_n + sr_s[o][g]
-        if r // dy == o // dy - 1:
-            return P_n + Hn + sl_s[o][g]
-        return -1
-
-    def xext_tx(g, r):
-        return xext(g, r, tx_shard, tx_local, P_, H, sr_tx_s, sl_tx_s)
-
-    def xext_bd(g, r):
-        return xext(g, r, bd_shard, bd_local, Q_, Hq, sr_bd_s, sl_bd_s)
-
-    # ------------------------------------------------------------------
-    # pass 2: y-stage send sets.  Entries are x-extended indices at the
-    # relay shard; the dict also remembers which global node each
-    # x-extended slot carries (needed to decode bd_index_ext).
-    # ------------------------------------------------------------------
-    ys_u_tx = [dict() for _ in range(D)]  # xext -> global g
-    ys_d_tx = [dict() for _ in range(D)]
-    ys_u_bd = [dict() for _ in range(D)]
-    ys_d_bd = [dict() for _ in range(D)]
-
-    for g, r, dyy in pend_tx:
-        xe = xext_tx(g, r)
-        (ys_u_tx if dyy == 1 else ys_d_tx)[r][xe] = g
-    for g, r, dyy in pend_bd:
-        xe = xext_bd(g, r)
-        (ys_u_bd if dyy == 1 else ys_d_bd)[r][xe] = g
-
-    Hy = _round_up(
-        max([1] + [len(s) for s in ys_u_tx] + [len(s) for s in ys_d_tx]),
-        round_halo,
-    )
-    Hqy = _round_up(
-        max([1] + [len(s) for s in ys_u_bd] + [len(s) for s in ys_d_bd]),
-        round_halo,
-    )
-
-    def mk_ysend(send_dicts, width):
-        idx = np.zeros((D, width), np.int32)
-        mask = np.zeros((D, width), bool)
-        slot_of = [dict() for _ in range(D)]
-        for d in range(D):
-            for j, xe in enumerate(sorted(send_dicts[d])):
-                idx[d, j] = xe
-                mask[d, j] = True
-                slot_of[d][xe] = j
-        return idx, mask, slot_of
-
-    yu_tx_i, yu_tx_m, yu_tx_s = mk_ysend(ys_u_tx, Hy)
-    yd_tx_i, yd_tx_m, yd_tx_s = mk_ysend(ys_d_tx, Hy)
-    yu_bd_i, yu_bd_m, yu_bd_s = mk_ysend(ys_u_bd, Hqy)
-    yd_bd_i, yd_bd_m, yd_bd_s = mk_ysend(ys_d_bd, Hqy)
-
-    # full extended index of source g as seen from consumer shard c
-    def mk_ext(shard_arr, xext_fn, P_n, Hn, Hyn, yu_s, yd_s):
-        def ext(g, c):
-            o = int(shard_arr[g])
-            ogx, ogy = divmod(o, dy)
-            cgx, cgy = divmod(c, dy)
-            dxx, dyy = cgx - ogx, cgy - ogy
-            if abs(dxx) > 1 or abs(dyy) > 1:
-                return -1
-            if dyy == 0:
-                return xext_fn(g, c)
-            r = cgx * dy + ogy
-            xe = xext_fn(g, r)
-            if dyy == 1:   # relay sends up; consumer's from-below buffer
-                return P_n + 2 * Hn + yu_s[r][xe]
-            return P_n + 2 * Hn + Hyn + yd_s[r][xe]
-        return ext
-
-    ext_tx = mk_ext(tx_shard, xext_tx, P_, H, Hy, yu_tx_s, yd_tx_s)
-    ext_bd = mk_ext(bd_shard, xext_bd, Q_, Hq, Hqy, yu_bd_s, yd_bd_s)
-
-    # per-shard CSR tables in extended index space
-    tt_tables = _shard_csr(
-        D, graph.tt_dst, graph.tt_src, tx_shard, tx_local, P_,
-        tx_shard, tx_local, ext_tx,
-    )
-    tb_tables = _shard_csr(
-        D, graph.sg_dst, graph.sg_src, bd_shard, bd_local, Q_,
-        tx_shard, tx_local, ext_tx, k_round=8,
-    )
-    cand_tables = _shard_csr(
-        D, graph.cand_src, graph.cand_dst, tx_shard, tx_local, P_,
-        bd_shard, bd_local, ext_bd,
-    )
-
-    tiles = assemble_shard_tiles(
-        graph, part, ext_tx, tt_tables, tb_tables, cand_tables,
-        for_training, n_src_ext=P_ + 2 * H + 2 * Hy,
-    )
-
-    # decode table for extended bd rows
-    bd_index_ext = np.full((D, Q_ + 2 * Hq + 2 * Hqy), -1, np.int64)
-    for d in range(D):
-        nbd = part.bd_rows[d].size
-        bd_index_ext[d, :nbd] = graph.bd_index[part.bd_rows[d]]
-        gx_, gy_ = divmod(d, dy)
-        if gx_ - 1 >= 0:
-            for g, j in sr_bd_s[(gx_ - 1) * dy + gy_].items():
-                bd_index_ext[d, Q_ + j] = graph.bd_index[g]
-        if gx_ + 1 < dx:
-            for g, j in sl_bd_s[(gx_ + 1) * dy + gy_].items():
-                bd_index_ext[d, Q_ + Hq + j] = graph.bd_index[g]
-        if gy_ - 1 >= 0:
-            r = gx_ * dy + (gy_ - 1)
-            for xe, j in yu_bd_s[r].items():
-                bd_index_ext[d, Q_ + 2 * Hq + j] = \
-                    graph.bd_index[ys_u_bd[r][xe]]
-        if gy_ + 1 < dy:
-            r = gx_ * dy + (gy_ + 1)
-            for xe, j in yd_bd_s[r].items():
-                bd_index_ext[d, Q_ + 2 * Hq + Hqy + j] = \
-                    graph.bd_index[ys_d_bd[r][xe]]
-
-    stacked = jax.tree.map(lambda *xs: np.stack(xs), *tiles)
     halo = GridHaloSpec(
-        tx_send_xl=sl_tx_i, tx_send_xl_mask=sl_tx_m,
-        tx_send_xr=sr_tx_i, tx_send_xr_mask=sr_tx_m,
-        tx_send_yd=yd_tx_i, tx_send_yd_mask=yd_tx_m,
-        tx_send_yu=yu_tx_i, tx_send_yu_mask=yu_tx_m,
-        bd_send_xl=sl_bd_i, bd_send_xl_mask=sl_bd_m,
-        bd_send_xr=sr_bd_i, bd_send_xr_mask=sr_bd_m,
-        bd_send_yd=yd_bd_i, bd_send_yd_mask=yd_bd_m,
-        bd_send_yu=yu_bd_i, bd_send_yu_mask=yu_bd_m,
-        bd_index_ext=bd_index_ext,
+        tx_send_xl=b.tx_send_xl, tx_send_xl_mask=b.tx_send_xl_mask,
+        tx_send_xr=b.tx_send_xr, tx_send_xr_mask=b.tx_send_xr_mask,
+        tx_send_yd=b.tx_send_yd, tx_send_yd_mask=b.tx_send_yd_mask,
+        tx_send_yu=b.tx_send_yu, tx_send_yu_mask=b.tx_send_yu_mask,
+        bd_send_xl=b.bd_send_xl, bd_send_xl_mask=b.bd_send_xl_mask,
+        bd_send_xr=b.bd_send_xr, bd_send_xr_mask=b.bd_send_xr_mask,
+        bd_send_yd=b.bd_send_yd, bd_send_yd_mask=b.bd_send_yd_mask,
+        bd_send_yu=b.bd_send_yu, bd_send_yu_mask=b.bd_send_yu_mask,
+        bd_index_ext=b.bd_index_ext,
     )
-    return stacked, halo, dropped
+    return b.stacked, halo, b.dropped
 
 
 # ----------------------------------------------------------------------

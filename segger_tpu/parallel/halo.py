@@ -30,13 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.assemble import HostGraph
 from ..data.graph import TileGraph
-from ._build_common import (
-    NodePartition,
-    assemble_shard_tiles,
-    mk_send,
-    round_up as _round_up,
-    shard_csr as _shard_csr,
-)
+from ._build_common import build_partitioned
 
 
 @struct.dataclass
@@ -83,152 +77,35 @@ def build_sharded_graph(
     halo exchange) and the host-precomputed triplet-sampler block
     structure, enabling whole-slide margin-free training
     (:func:`make_sharded_train_step`).
+
+    Implementation: the 1-D strip build is exactly the ``dy == 1`` case
+    of the grid build (``_build_common.build_partitioned``); this
+    wrapper only chooses the strip assignment and names the x tables
+    left/right.
     """
-    D = n_shards
-    tx_shard, qs = _strip_assign(graph.tx_pos[:, 0], D)
+    tx_shard, qs = _strip_assign(graph.tx_pos[:, 0], n_shards)
     # bd follows its centroid, against the same strip boundaries
     bd_shard = np.searchsorted(
         qs, graph.bd_pos[:, 0], side="right"
     ).astype(np.int64)
 
-    part = NodePartition(graph, tx_shard, bd_shard, D, round_nodes)
-    tx_local, bd_local = part.tx_local, part.bd_local
-    P_, Q_ = part.P, part.Q
-
-    # ------------------------------------------------------------------
-    # send sets: for every cross-shard edge, the src must be in the
-    # owner's send list toward the consumer
-    # ------------------------------------------------------------------
-    dropped = np.zeros(3, dtype=np.int64)
-
-    send_right_tx = [set() for _ in range(D)]  # owner d -> consumer d+1
-    send_left_tx = [set() for _ in range(D)]   # owner d -> consumer d-1
-    send_right_bd = [set() for _ in range(D)]
-    send_left_bd = [set() for _ in range(D)]
-
-    def note(src, delta, owner_shard, send_right, send_left,
-             which_drop):
-        """Vectorized: bucket cross-shard sources into the owner's send
-        sets (a per-edge Python loop costs minutes at 10M-transcript
-        scale; cross-shard edges are a tiny boundary fraction)."""
-        for dl, target in ((1, send_right), (-1, send_left)):
-            srcs = src[delta == dl]
-            owners = owner_shard[srcs]
-            order = np.argsort(owners, kind="stable")
-            so, oo = srcs[order], owners[order]
-            starts = np.searchsorted(oo, np.arange(D))
-            ends = np.searchsorted(oo, np.arange(D), side="right")
-            for d in range(D):
-                target[d].update(so[starts[d]:ends[d]].tolist())
-        dropped[which_drop] += int((np.abs(delta) > 1).sum())
-
-    # tt edges: src tx, dst tx
-    note(graph.tt_src,
-         tx_shard[graph.tt_dst] - tx_shard[graph.tt_src],
-         tx_shard, send_right_tx, send_left_tx, 0)
-    # sg edges: src tx, dst bd
-    note(graph.sg_src,
-         bd_shard[graph.sg_dst] - tx_shard[graph.sg_src],
-         tx_shard, send_right_tx, send_left_tx, 1)
-    # cand edges: rows are tx (dst side of the table), idx entries are bd
-    note(graph.cand_dst,
-         tx_shard[graph.cand_src] - bd_shard[graph.cand_dst],
-         bd_shard, send_right_bd, send_left_bd, 2)
-
-    H = _round_up(
-        max(
-            [1]
-            + [len(s) for s in send_right_tx]
-            + [len(s) for s in send_left_tx]
-        ),
-        round_halo,
+    b = build_partitioned(
+        graph, tx_shard, bd_shard, dx=n_shards, dy=1,
+        round_nodes=round_nodes, round_halo=round_halo,
+        for_training=for_training,
     )
-    Hq = _round_up(
-        max(
-            [1]
-            + [len(s) for s in send_right_bd]
-            + [len(s) for s in send_left_bd]
-        ),
-        round_halo,
-    )
-
-    # ordered send lists + position maps (global id -> slot)
-    sr_tx_idx, sr_tx_m, sr_tx_slot = mk_send(send_right_tx, D, H, tx_local)
-    sl_tx_idx, sl_tx_m, sl_tx_slot = mk_send(send_left_tx, D, H, tx_local)
-    sr_bd_idx, sr_bd_m, sr_bd_slot = mk_send(send_right_bd, D, Hq, bd_local)
-    sl_bd_idx, sl_bd_m, sl_bd_slot = mk_send(send_left_bd, D, Hq, bd_local)
-
-    # extended index of a source node as seen from consumer shard d:
-    #   local -> tx_local[g]
-    #   from left (owner d-1, in owner's send_right) -> P + slot
-    #   from right (owner d+1, in owner's send_left) -> P + H + slot
-    def ext_tx_index(g, d):
-        if tx_shard[g] == d:
-            return tx_local[g]
-        if tx_shard[g] == d - 1:
-            return P_ + sr_tx_slot[d - 1][g]
-        if tx_shard[g] == d + 1:
-            return P_ + H + sl_tx_slot[d + 1][g]
-        return -1
-
-    def ext_bd_index(g, d):
-        if bd_shard[g] == d:
-            return bd_local[g]
-        if bd_shard[g] == d - 1:
-            return Q_ + sr_bd_slot[d - 1][g]
-        if bd_shard[g] == d + 1:
-            return Q_ + Hq + sl_bd_slot[d + 1][g]
-        return -1
-
-    # per-shard CSR tables in extended index space
-    tt_tables = _shard_csr(
-        D, graph.tt_dst, graph.tt_src, tx_shard, tx_local, P_,
-        tx_shard, tx_local, ext_tx_index,
-    )
-    tb_tables = _shard_csr(
-        D, graph.sg_dst, graph.sg_src, bd_shard, bd_local, Q_,
-        tx_shard, tx_local, ext_tx_index, k_round=8,
-    )
-    # cand: rows tx (local), entries bd (extended)
-    cand_tables = _shard_csr(
-        D, graph.cand_src, graph.cand_dst, tx_shard, tx_local, P_,
-        bd_shard, bd_local, ext_bd_index,
-    )
-
-    # per-shard TileGraphs; training shards carry extended-space
-    # transpose tables (gradients route back through the same gather
-    # duality as local tiles, then through the exchange's ppermute VJP
-    # to the owning shard) + sampler blocks
-    tiles = assemble_shard_tiles(
-        graph, part, ext_tx_index, tt_tables, tb_tables, cand_tables,
-        for_training, n_src_ext=P_ + 2 * H,
-    )
-
-    # static extended bd_index for prediction
-    bd_index_ext = np.full((D, Q_ + 2 * Hq), -1, np.int64)
-    for d in range(D):
-        nbd = part.bd_rows[d].size
-        bd_index_ext[d, :nbd] = graph.bd_index[part.bd_rows[d]]
-        if d - 1 >= 0:
-            for g, j in sr_bd_slot[d - 1].items():
-                bd_index_ext[d, Q_ + j] = graph.bd_index[g]
-        if d + 1 < D:
-            for g, j in sl_bd_slot[d + 1].items():
-                bd_index_ext[d, Q_ + Hq + j] = graph.bd_index[g]
-
-    stacked = jax.tree.map(lambda *xs: np.stack(xs), *tiles)
     halo = HaloSpec(
-        tx_send_left=sl_tx_idx,
-        tx_send_left_mask=sl_tx_m,
-        tx_send_right=sr_tx_idx,
-        tx_send_right_mask=sr_tx_m,
-        bd_send_left=sl_bd_idx,
-        bd_send_left_mask=sl_bd_m,
-        bd_send_right=sr_bd_idx,
-        bd_send_right_mask=sr_bd_m,
-        bd_index_ext=bd_index_ext,
+        tx_send_left=b.tx_send_xl,
+        tx_send_left_mask=b.tx_send_xl_mask,
+        tx_send_right=b.tx_send_xr,
+        tx_send_right_mask=b.tx_send_xr_mask,
+        bd_send_left=b.bd_send_xl,
+        bd_send_left_mask=b.bd_send_xl_mask,
+        bd_send_right=b.bd_send_xr,
+        bd_send_right_mask=b.bd_send_xr_mask,
+        bd_index_ext=b.bd_index_ext,
     )
-    return stacked, halo, dropped
+    return b.stacked, halo, b.dropped
 
 
 # ----------------------------------------------------------------------

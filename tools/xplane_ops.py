@@ -24,10 +24,18 @@ def main():
     files = sorted(glob.glob(f"{path}/**/*.xplane.pb", recursive=True))
     if not files:
         raise SystemExit(f"no xplane.pb under {path}")
-    xs = xplane_pb2.XSpace()
-    xs.ParseFromString(open(files[-1], "rb").read())
+    # Aggregate across ALL xplane files (multi-host or repeated captures
+    # produce several); name which files contribute so nothing is
+    # silently dropped.
+    for f in files:
+        print(f"# parsing {f}")
+    planes = []
+    for f in files:
+        xs = xplane_pb2.XSpace()
+        xs.ParseFromString(open(f, "rb").read())
+        planes.extend(xs.planes)
 
-    for plane in xs.planes:
+    for plane in planes:
         if not plane.name.startswith("/device:TPU"):
             continue
         meta = plane.event_metadata
@@ -38,7 +46,10 @@ def main():
             if line.name != "XLA Ops":
                 continue
             for ev in line.events:
-                name = meta[ev.metadata_id].name
+                if ev.metadata_id in meta:
+                    name = meta[ev.metadata_id].name or "(unnamed)"
+                else:
+                    name = "(unknown)"
                 by_op[name] += ev.duration_ps
                 n_occ[name] += 1
                 total += ev.duration_ps
@@ -47,17 +58,21 @@ def main():
         for name, ps in by_op.most_common(top_n):
             print(f"{ps / 1e12 * 1e3:9.3f} ms  x{n_occ[name]:<4d} {name[:110]}")
 
+        # Heuristic rollup: patterns anchored to the op-name PREFIX so
+        # compound names ("fusion.123.convert") land in their leading
+        # category, not whichever substring happens to match first.
         cats = collections.Counter()
         for name, ps in by_op.items():
             if re.match(r"(custom-call|tpu_custom_call)", name):
                 cats["pallas/custom-call"] += ps
-            elif name.startswith("fusion") or ".fusion" in name:
+            elif re.match(r"fusion", name):
                 cats["fusion"] += ps
-            elif "convert" in name:
+            elif re.match(r"convert", name):
                 cats["convert"] += ps
-            elif "dynamic" in name:
+            elif re.match(r"(dynamic-slice|dynamic-update-slice|dynamic)",
+                          name):
                 cats["dynamic-slice/update"] += ps
-            elif "copy" in name:
+            elif re.match(r"copy", name):
                 cats["copy"] += ps
             elif re.match(r"(dot|convolution)", name):
                 cats["matmul"] += ps
