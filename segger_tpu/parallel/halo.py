@@ -160,11 +160,17 @@ def put_sharded(tree, sharding: NamedSharding):
 
 def fetch_global(tree):
     """np.asarray for every leaf, gathering across processes first when
-    the outputs span non-addressable devices (multi-host meshes)."""
+    the outputs span non-addressable devices (multi-host meshes).
+
+    ``tiled=True``: the outputs are *global* sharded arrays (the shard
+    axis is already their leading dimension), so the gather must
+    reassemble them in place rather than stack a new per-process axis —
+    and process_allgather rejects non-fully-addressable inputs
+    otherwise (covered by tests/test_multihost.py)."""
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        tree = multihost_utils.process_allgather(tree)
+        tree = multihost_utils.process_allgather(tree, tiled=True)
     return jax.tree.map(np.asarray, tree)
 
 
