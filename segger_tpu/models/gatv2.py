@@ -191,7 +191,7 @@ class GATv2Conv(nn.Module):
             )
             return out + bias
 
-        g = jnp.take(xl, csr.idx, axis=0)
+        g = jnp.take(xl, csr.idx, axis=0, mode="clip")
         s = g + xr[:, None, :]
         s = nn.leaky_relu(s, self.negative_slope)
         s = s.reshape(*s.shape[:-1], h, c)

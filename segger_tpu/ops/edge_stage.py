@@ -45,7 +45,8 @@ def _forward_pieces(xl, xr, att, csr, heads, slope):
     n_dst, k = csr.idx.shape
     hc = xl.shape[-1]
     ch = hc // heads
-    g = jnp.take(xl, csr.idx, axis=0)                 # (N, K, HC)
+    g = jnp.take(xl, csr.idx, axis=0,
+                 mode="clip")  # (N, K, HC)
     p = g + xr[:, None, :]
     s = jnp.where(p > 0, p, slope * p)
     sh = s.reshape(n_dst, k, heads, ch)
@@ -150,10 +151,13 @@ def _bwd(config, res, G):
     i_t = t_pos // k                                 # dst rows
     a_flat = a.reshape(n_dst * k, heads)
     de_flat = de.reshape(n_dst * k, heads)
-    a_t = jnp.take(a_flat, t_pos, axis=0)            # (Ns, Kt, H)
-    de_t = jnp.take(de_flat, t_pos, axis=0)
-    G_t = jnp.take(Gh, i_t, axis=0)                  # (Ns, Kt, H, C)
-    xr_t = jnp.take(xr, i_t, axis=0)                 # (Ns, Kt, HC)
+    a_t = jnp.take(a_flat, t_pos, axis=0,
+                   mode="clip")  # (Ns, Kt, H)
+    de_t = jnp.take(de_flat, t_pos, axis=0, mode="clip")
+    G_t = jnp.take(Gh, i_t, axis=0,
+                   mode="clip")  # (Ns, Kt, H, C)
+    xr_t = jnp.take(xr, i_t, axis=0,
+                    mode="clip")  # (Ns, Kt, HC)
     p_t = (xl[:, None, :] + xr_t).reshape(
         xl.shape[0], t_pos.shape[1], heads, ch
     )
@@ -212,7 +216,8 @@ def _gatv2_edge_stage_flat(
     n_dst, k = csr.idx.shape
     hc = xl.shape[-1]
     ch = hc // heads
-    g = jnp.take(xl, csr.idx.reshape(-1), axis=0)     # (N*K, HC)
+    g = jnp.take(xl, csr.idx.reshape(-1), axis=0,
+                 mode="clip")    # (N*K, HC)
     p = g + jnp.repeat(xr, k, axis=0)
     s = jnp.where(p > 0, p, slope * p)
     logits = s @ _att_blockdiag(att)                  # (N*K, H) on MXU
@@ -236,7 +241,8 @@ def _fwd_flat(xl, xr, att, keep_mask, csr, csr_t, config):
     hc = xl.shape[-1]
     ch = hc // heads
     nk = n_dst * k
-    g = jnp.take(xl, csr.idx.reshape(-1), axis=0)
+    g = jnp.take(xl, csr.idx.reshape(-1), axis=0,
+                 mode="clip")
     p = g + jnp.repeat(xr, k, axis=0)
     sign = p > 0                                      # residual (1B/elem)
     s = jnp.where(sign, p, slope * p)
@@ -265,7 +271,8 @@ def _bwd_flat(config, res, G):
     ch = hc // heads
     nk = n_dst * k
 
-    g = jnp.take(xl, csr.idx.reshape(-1), axis=0)
+    g = jnp.take(xl, csr.idx.reshape(-1), axis=0,
+                 mode="clip")
     keep = keep_mask.reshape(nk, heads)
     a = alpha * keep
     A = _att_blockdiag(att)
@@ -301,7 +308,8 @@ def _bwd_flat(config, res, G):
     dg = jnp.repeat(a, ch, axis=1) * G_rep + dp
     dg = jnp.where(m, dg, 0.0)
     dxr = dp.reshape(n_dst, k, hc).sum(axis=1)
-    rows = jnp.take(dg, csr_t.idx, axis=0)            # (Ns, Kt, HC)
+    rows = jnp.take(dg, csr_t.idx, axis=0,
+                    mode="clip")     # (Ns, Kt, HC)
     dxl = jnp.where(csr_t.mask[..., None], rows, 0.0).sum(axis=1)
     return dxl, dxr, datt, d_keep.reshape(keep_mask.shape), None, None
 

@@ -23,8 +23,12 @@ def csr_gather(x_src: jnp.ndarray, csr: PaddedCSR) -> jnp.ndarray:
     """Gather source features per destination row: (N_src, F) -> (N_dst, K, F).
 
     Invalid slots gather an arbitrary in-range row; callers mask.
+    ``clip`` mode: the PaddedCSR contract guarantees in-range
+    indices (padding slots hold 0) — the default fill mode would emit a
+    separate full-size bounds-compare + select pass after the gather
+    (measured ~0.3 ms per 100 MB gathered at bench scale).
     """
-    return jnp.take(x_src, csr.idx, axis=0)
+    return jnp.take(x_src, csr.idx, axis=0, mode="clip")
 
 
 def csr_spmm(
@@ -187,7 +191,9 @@ def _csr_gather_t_bwd(res, g_grad):
     flat = jnp.where(csr.mask[..., None], g_grad, 0).reshape(
         n_dst * k, *g_grad.shape[2:]
     )
-    rows = jnp.take(flat, csr_t.idx, axis=0)  # (N_src, K_T, F)
+    rows = jnp.take(
+        flat, csr_t.idx, axis=0, mode="clip"
+    )  # (N_src, K_T, F)
     grad_x = jnp.where(csr_t.mask[..., None], rows, 0).sum(axis=1)
     return grad_x, None, None
 

@@ -128,7 +128,7 @@ def padded_csr_to_coo(csr: PaddedCSR) -> tuple[np.ndarray, np.ndarray]:
 
 def transpose_csr(
     csr: PaddedCSR, n_src: int, k: Optional[int] = None,
-    pad_to_multiple: int = 4,
+    pad_to_multiple: int = 1,
 ) -> PaddedCSR:
     """Transpose table: for each *source* node, the flattened slot
     positions (dst * K + k) of the edges it feeds (host side).
@@ -137,6 +137,11 @@ def transpose_csr(
     <segger_tpu.ops.gather_agg.csr_gather_t>`: the VJP of a padded-CSR
     gather gathers the cotangent rows through this table instead of
     scatter-adding — scatters serialize on TPU, gathers vectorize.
+
+    Width defaults to the EXACT max out-degree (``pad_to_multiple=1``):
+    backward HBM traffic scales with the width, and for sparse-consumer
+    tables (e.g. supervision edges: max one consumer per transcript) a
+    rounded-up width multiplies the gather volume for nothing.
     """
     idx = np.asarray(csr.idx)
     mask = np.asarray(csr.mask)

@@ -450,7 +450,11 @@ def _prep(xl, xr, keep_mask, csr, blk):
     # mask stays f32: 16-bit minor-dim broadcast is unsupported in
     # Mosaic, and the array is tiny
     mask_f = _pad_rows(csr.mask, n_pad).astype(jnp.float32)
-    g3 = jnp.take(xl, idx.reshape(-1), axis=0).reshape(n_pad, k, hc)
+    # clip mode: PaddedCSR idx are in-range by contract; fill
+    # mode would add a full-size bounds select after the gather
+    g3 = jnp.take(
+        xl, idx.reshape(-1), axis=0, mode="clip"
+    ).reshape(n_pad, k, hc)
     xr_p = _pad_rows(xr, n_pad)
     if _keep_mode(keep_mask) != "keep":
         keep = None
@@ -592,7 +596,9 @@ def _bwd_rule(config, res, G):
     # dxl: transpose-space gather of dg (scatter-free, same as
     # ops/edge_stage.py): csr_t.idx holds flat (dst*K + slot) positions.
     dg_flat = dg3[:n_dst].reshape(n_dst * k, hc)
-    rows = jnp.take(dg_flat, csr_t.idx, axis=0)       # (Ns, Kt, HC)
+    rows = jnp.take(
+        dg_flat, csr_t.idx, axis=0, mode="clip"
+    )                                                 # (Ns, Kt, HC)
     dxl = jnp.where(csr_t.mask[..., None], rows, 0.0).sum(axis=1)
     return dxl.astype(g3.dtype), dxr, datt, dkeep, None, None
 

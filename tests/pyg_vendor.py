@@ -69,6 +69,10 @@ DT = torch.float64
 
 
 def t(a) -> torch.Tensor:
+    # pass torch tensors through (keeps autograd intact for the
+    # whole-loop parity test, tests/test_loop_parity.py)
+    if isinstance(a, torch.Tensor):
+        return a if a.dtype == DT else a.to(DT)
     return torch.tensor(np.asarray(a), dtype=DT)
 
 
@@ -88,8 +92,12 @@ def pyg_softmax(src: torch.Tensor, index: torch.Tensor, num_nodes: int):
     src_max = torch.full(
         (num_nodes,) + src.shape[1:], -float("inf"), dtype=src.dtype
     )
+    # PyG detaches the per-group max (torch_geometric/utils/_softmax.py:
+    # ``src_max = scatter(src.detach(), ...)``) — numerically the
+    # subtraction cancels in the gradient, and index_reduce_ has no
+    # amax derivative anyway
     src_max = src_max.index_reduce_(
-        0, index, src, reduce="amax", include_self=True
+        0, index, src.detach(), reduce="amax", include_self=True
     )
     out = (src - src_max.index_select(0, index)).exp()
     out_sum = scatter_sum(out, index, num_nodes) + 1e-16
