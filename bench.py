@@ -99,6 +99,10 @@ def build_tile(n_tx=50_000, n_bd=2_500, n_genes=400, f_bd=128, seed=0):
         bd_index=np.arange(n_bd, dtype=np.int32),
         bd_valid=np.ones(n_bd, bool),
         bd_interior=np.ones(n_bd, bool),
+        # K stays a multiple of 8: XLA tiles the middle dim of
+        # (n, K, 128) bf16 arrays to 8 sublanes, so exact K=5 pads to 8
+        # in HBM anyway and only loses alignment (measured: step
+        # 25.5 -> 27.8 ms with exact widths)
         tt=(tt := coo_to_padded_csr(dst, src, n_dst=n_tx,
                                     pad_to_multiple=8)),
         tb=(tb := coo_to_padded_csr(sg_dst, sg_src, n_dst=n_bd,

@@ -1,0 +1,164 @@
+"""Out-of-core whole-slide run: bounded-RSS end-to-end at 50-100M
+transcripts (VERDICT r2 item 3; reference design point ~600M tx,
+/root/reference/src/segger/data/utils/neighbors.py:122-163).
+
+Same pipeline as examples/xenium_scale.py but the transcript table is a
+disk-spooled ColumnarTranscripts (typed memmaps, no object columns) and
+feature accumulation streams in chunks.  The DataFrame path measured
+30 GB peak RSS at 10.5M transcripts (docs/runs/xenium_10m.json) —
+~300 GB extrapolated at 100M; this path holds the transcript plane in
+O(chunk) + O(cells).
+
+    python examples/outofcore_scale.py --n-cells 2000000   # ~52M tx
+"""
+import sys
+
+import os
+
+# runnable from anywhere: the repo root is the package root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+import json
+import tempfile
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--n-cells", type=int, default=100_000)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--tile-nodes", type=int, default=50_000)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--spool", default=None)
+    ap.add_argument("--eval-sample", type=int, default=2_000_000,
+                    help="transcripts sampled for the quality report")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import pandas as pd
+
+    from segger_tpu.data.synthetic import make_synthetic_columnar
+    from segger_tpu.pipeline import ISTPipeline, PipelineConfig
+    from segger_tpu.train.trainer import SeggerTrainer, TrainConfig
+    from segger_tpu.data.partition import (
+        make_fit_tiles, make_predict_tiles,
+    )
+    from segger_tpu.data.writer import SegmentationWriter
+    from segger_tpu.metrics import segmentation_report
+    from segger_tpu.utils import peak_rss_gb
+    from segger_tpu.utils_profiling import StageTimer
+
+    timer = StageTimer()
+    out_dir = args.out or tempfile.mkdtemp(prefix="segger_ooc_")
+    spool = args.spool or os.path.join(out_dir, "spool")
+
+    with timer.stage("generate"):
+        synth = make_synthetic_columnar(
+            n_cells=args.n_cells, n_genes=200, mean_tx_per_cell=25,
+            extent=400.0 * np.sqrt(args.n_cells / 200), seed=0,
+            spool=spool,
+        )
+    cols = synth.transcripts
+    n_tx = cols.n
+    print(f"{n_tx} transcripts, {args.n_cells} cells "
+          f"(spool: {spool}), rss {peak_rss_gb():.1f} GB", flush=True)
+
+    cfg = PipelineConfig(
+        cells_embedding_size=64,
+        genes_min_counts=50,
+        cells_min_counts=5,
+        tiling_nodes_per_tile=args.tile_nodes,
+        tiling_margin_training=10.0,
+        tiling_margin_prediction=15.0,
+        prediction_graph_mode="cell",
+        prediction_graph_buffer_ratio=0.2,
+    )
+    pipeline = ISTPipeline(cols, synth.boundaries, synth.polygons, cfg)
+    with timer.stage("features+graph", items=n_tx):
+        pipeline.load()
+    g = pipeline.graph
+    print(
+        f"graph: {g.n_tx} tx, {g.n_bd} bd, "
+        f"{g.tt_src.size + g.sg_src.size} mp edges, "
+        f"{pipeline.tree.n_leaves} tiles, rss {peak_rss_gb():.1f} GB",
+        flush=True,
+    )
+
+    tc = TrainConfig(
+        hidden_channels=64, out_channels=64, n_mid_layers=2, n_heads=2,
+        max_epochs=args.epochs, scan_steps=8, seed=0,
+        compute_dtype=args.dtype,
+    )
+    trainer = SeggerTrainer(g, tc)
+    fit_tiles = make_fit_tiles(g, pipeline.tree, margin=10.0)
+    n_edges = sum(t.n_edges for t in fit_tiles)
+    with timer.stage("train", items=n_edges * 4 * args.epochs):
+        trainer.fit(fit_tiles)
+    print(f"trained, rss {peak_rss_gb():.1f} GB", flush=True)
+
+    predict_tiles = make_predict_tiles(g, pipeline.tree, margin=15.0)
+    with timer.stage("predict", items=n_tx):
+        preds = trainer.predict(predict_tiles)
+    print(f"predicted, rss {peak_rss_gb():.1f} GB", flush=True)
+
+    with timer.stage("write"):
+        writer = SegmentationWriter(out_dir, save_anndata=False)
+        seg = writer.write(
+            preds, cell_ids=g.bd_cell_id,
+            gene_names=pipeline.adata.var.index.to_numpy().astype(str),
+        )
+
+    # quality on a sample (string-series metrics at full 50M would
+    # rebuild the object columns this path exists to avoid)
+    rng = np.random.default_rng(0)
+    n_eval = min(args.eval_sample, len(seg))
+    rows = rng.choice(len(seg), n_eval, replace=False)
+    seg_s = seg.iloc[rows]
+    truth_code = np.asarray(synth.truth_code)
+    ri = seg_s["row_index"].to_numpy()
+    tc_s = truth_code[ri]
+    truth = pd.Series(
+        np.where(tc_s >= 0,
+                 cols.cell_ids[np.maximum(tc_s, 0)], ""),
+        index=ri,
+    )
+    truth = truth[truth != ""]
+    report = segmentation_report(seg_s, truth)
+
+    log = {
+        "n_transcripts": int(n_tx),
+        "n_cells": int(args.n_cells),
+        "path": "columnar out-of-core (disk-spooled transcript plane)",
+        "stages": timer.summary(),
+        "quality_on_sample": {
+            k: round(v, 4) if isinstance(v, float) else v
+            for k, v in report.items()
+        },
+        "eval_sample": int(n_eval),
+        "peak_rss_gb": round(peak_rss_gb(), 2),
+        "device": str(jax.devices()[0]),
+        "dtype": args.dtype,
+        "epochs": args.epochs,
+        "tile_nodes": args.tile_nodes,
+    }
+    print("stages:", json.dumps(timer.summary(), indent=2))
+    print("quality:", json.dumps(log["quality_on_sample"], indent=2))
+    print(f"peak rss: {log['peak_rss_gb']} GB")
+    with open(os.path.join(out_dir, "run.json"), "w") as f:
+        json.dump(log, f, indent=2)
+    print("log:", os.path.join(out_dir, "run.json"))
+
+
+if __name__ == "__main__":
+    main()

@@ -197,3 +197,147 @@ def build_host_graph(
         tx_similarity=tx_similarity,
         bd_similarity=bd_similarity,
     )
+
+
+def build_host_graph_columnar(
+    cols,
+    adata: AnnDataLite,
+    segmentation_mask: np.ndarray,
+    cells_embedding_key: str = "X_pca",
+    transcripts_graph_max_k: int = 5,
+    transcripts_graph_max_dist: float = 5.0,
+    prediction_graph_mode: str = "cell",
+    prediction_graph_max_k: int = 3,
+    prediction_graph_buffer_ratio: float = 0.05,
+    polygons: Optional[list] = None,
+    polygon_cell_ids: Optional[np.ndarray] = None,
+) -> HostGraph:
+    """Assemble the whole-slide graph from a
+    :class:`segger_tpu.data.columnar.ColumnarTranscripts` table.
+
+    Same semantics as :func:`build_host_graph` (the pandas path) with
+    every per-row string join replaced by an integer lookup table over
+    the columnar vocabularies — O(vocab) Python, O(N) array work, no
+    object columns.  This is the out-of-core entry: ``cols`` columns
+    may be disk-backed memmaps.
+
+    Reference analogue: setup_heterodata,
+    /root/reference/src/segger/data/utils/heterodata.py:18-164 (joins
+    via pandas maps on the whole table there; the reference holds the
+    full frame in RAM).
+    """
+    tx_f = TrainingTranscriptFields()
+
+    # vocab-code -> feature-table encoding lookup arrays (O(G)/O(C))
+    gene_enc_by_name = {
+        g: int(e) for g, e in zip(
+            adata.var.index.to_numpy().astype(str),
+            adata.var[tx_f.gene_encoding].to_numpy(),
+        )
+    }
+    gene_clu_by_name = {
+        g: int(c) for g, c in zip(
+            adata.var.index.to_numpy().astype(str),
+            np.asarray(adata.var["phenograph_cluster"]),
+        )
+    }
+    g_map = np.full(len(cols.gene_names), -1, np.int64)
+    g_clu = np.full(len(cols.gene_names), -1, np.int64)
+    for code, name in enumerate(cols.gene_names):
+        e = gene_enc_by_name.get(str(name))
+        if e is not None:
+            g_map[code] = e
+            g_clu[code] = gene_clu_by_name[str(name)]
+
+    cell_enc_by_id = {
+        c: int(e) for c, e in zip(
+            adata.obs.index.to_numpy().astype(str),
+            adata.obs[tx_f.cell_encoding].to_numpy(),
+        )
+    }
+    c_map = np.full(len(cols.cell_ids) + 1, -1, np.int64)  # [-1] = none
+    for code, cid in enumerate(cols.cell_ids):
+        e = cell_enc_by_id.get(str(cid))
+        if e is not None:
+            c_map[code] = e
+
+    tx_gene = g_map[np.asarray(cols.gene_code)]
+    keep = tx_gene >= 0
+    tx_gene = tx_gene[keep]
+    tx_cluster = g_clu[np.asarray(cols.gene_code)[keep]]
+    seg_mask = np.asarray(segmentation_mask)[keep]
+    cell_code = np.asarray(cols.cell_code)[keep]
+    tx_cell_encoding = np.where(seg_mask, c_map[cell_code], -1)
+
+    tx_pos = np.stack(
+        [np.asarray(cols.x)[keep], np.asarray(cols.y)[keep]], axis=1
+    ).astype(np.float32)
+    tx_index = np.asarray(cols.row_index)[keep]
+
+    bd_x = np.asarray(adata.obsm[cells_embedding_key], dtype=np.float32)
+    bd_pos = np.asarray(adata.obsm["X_spatial"], dtype=np.float32)
+    bd_cluster = np.asarray(adata.obs["phenograph_cluster"], dtype=np.int64)
+    bd_index = adata.obs[tx_f.cell_encoding].to_numpy(np.int64)
+    bd_cell_id = adata.obs.index.to_numpy().astype(str)
+
+    tt_src, tt_dst = transcripts_graph(
+        tx_pos, max_k=transcripts_graph_max_k,
+        max_dist=transcripts_graph_max_dist,
+    )
+    sg_src, sg_dst = segmentation_graph(tx_cell_encoding, seg_mask)
+
+    if prediction_graph_mode in ("cell", "nucleus"):
+        if polygons is None or polygon_cell_ids is None:
+            raise ValueError(
+                f"prediction_graph_mode='{prediction_graph_mode}' needs "
+                "polygons + polygon_cell_ids"
+            )
+        by_id = {cid: p for cid, p in zip(polygon_cell_ids, polygons)}
+        poly_list, poly_rows = [], []
+        for row, cid in enumerate(bd_cell_id):
+            p = by_id.get(cid)
+            if p is not None:
+                poly_list.append(np.asarray(p))
+                poly_rows.append(row)
+        cand_src, cand_poly = prediction_graph(
+            tx_pos, bd_pos, mode=prediction_graph_mode,
+            max_k=prediction_graph_max_k,
+            buffer_ratio=prediction_graph_buffer_ratio,
+            polygons=poly_list,
+        )
+        poly_rows = np.asarray(poly_rows, dtype=np.int64)
+        cand_dst = poly_rows[cand_poly]
+    else:
+        cand_src, cand_dst = prediction_graph(
+            tx_pos, bd_pos, mode="uniform", max_k=prediction_graph_max_k,
+        )
+
+    gene_embedding = np.asarray(adata.varm["X_corr"], dtype=np.float32)
+    tx_similarity = np.asarray(
+        adata.uns["gene_cluster_similarities"], dtype=np.float32
+    )
+    bd_similarity = np.asarray(
+        adata.uns["cell_cluster_similarities"], dtype=np.float32
+    )
+
+    return HostGraph(
+        tx_gene=tx_gene.astype(np.int32),
+        tx_pos=tx_pos,
+        tx_cluster=tx_cluster.astype(np.int32),
+        tx_index=tx_index.astype(np.int64),
+        tx_cell_encoding=tx_cell_encoding.astype(np.int64),
+        bd_x=bd_x,
+        bd_pos=bd_pos,
+        bd_cluster=bd_cluster.astype(np.int32),
+        bd_index=bd_index,
+        bd_cell_id=bd_cell_id,
+        tt_src=tt_src,
+        tt_dst=tt_dst,
+        sg_src=sg_src,
+        sg_dst=sg_dst,
+        cand_src=cand_src,
+        cand_dst=cand_dst,
+        gene_embedding=gene_embedding,
+        tx_similarity=tx_similarity,
+        bd_similarity=bd_similarity,
+    )

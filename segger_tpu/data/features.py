@@ -115,7 +115,9 @@ def _normalise(ad: AnnDataLite, cells_min_counts: int) -> AnnDataLite:
     ].any() else 1.0
     scale = np.where(n_counts > 0, target / np.maximum(n_counts, 1e-12), 0.0)
     norm = sp.diags(scale) @ ad.X
-    ad.layers["norm"] = norm.tocsr()
+    # f32: the f64 promotion from the diag product would double the
+    # dense PCA working set (cells x genes) at whole-slide scale
+    ad.layers["norm"] = norm.tocsr().astype(np.float32)
     return ad
 
 
@@ -137,8 +139,6 @@ def setup_features(
     seed: int = 0,
 ) -> AnnDataLite:
     """Full feature pipeline (reference: anndata.py:131-312)."""
-    from sklearn.decomposition import PCA
-
     tx_fields = TrainingTranscriptFields()
     ad = anndata_from_transcripts(
         transcripts,
@@ -146,6 +146,46 @@ def setup_features(
         cell_column,
         coordinate_columns=[tx_fields.x, tx_fields.y],
     )
+    return setup_features_from_anndata(
+        ad,
+        cells_embedding_size=cells_embedding_size,
+        cells_min_counts=cells_min_counts,
+        cells_clusters_n_neighbors=cells_clusters_n_neighbors,
+        cells_clusters_resolution=cells_clusters_resolution,
+        genes_min_counts=genes_min_counts,
+        genes_clusters_n_neighbors=genes_clusters_n_neighbors,
+        genes_clusters_resolution=genes_clusters_resolution,
+        compute_morphology=compute_morphology,
+        gene_corr_reference=gene_corr_reference,
+        gene_missing_strategy=gene_missing_strategy,
+        morphology_props=morphology_props,
+        seed=seed,
+    )
+
+
+def setup_features_from_anndata(
+    ad: AnnDataLite,
+    cells_embedding_size: int = 128,
+    cells_min_counts: int = 10,
+    cells_clusters_n_neighbors: int = 10,
+    cells_clusters_resolution: float = 2.0,
+    genes_min_counts: int = 100,
+    genes_clusters_n_neighbors: int = 5,
+    genes_clusters_resolution: float = 2.0,
+    compute_morphology: bool = False,
+    gene_corr_reference: Optional[AnnDataLite] = None,
+    gene_missing_strategy: str = "error",
+    morphology_props: Optional[pd.DataFrame] = None,
+    seed: int = 0,
+) -> AnnDataLite:
+    """Everything in :func:`setup_features` after the count matrix —
+    the entry point for out-of-core callers, whose counts come from
+    :func:`segger_tpu.data.columnar.anndata_from_columnar` (streaming
+    accumulation) instead of a whole-slide DataFrame.  All work below
+    is O(cells x genes), independent of the transcript count."""
+    from sklearn.decomposition import PCA
+
+    tx_fields = TrainingTranscriptFields()
 
     # deterministic ordering (anndata.py:182)
     obs_order = np.argsort(ad.obs.index.to_numpy())

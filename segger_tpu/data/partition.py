@@ -352,6 +352,9 @@ def tile_bucket(
     return BucketShape(
         n_tx=_round_up(n_tx_local, round_tx),
         n_bd=_round_up(spec.bd_rows.size, round_bd),
+        # widths stay 4/8-rounded: XLA tiles the middle dim of
+        # (n, K, 128) arrays to 8 sublanes, so sub-8 exact widths pad
+        # in HBM anyway and only lose alignment (measured in bench.py)
         k_tt=_round_up(deg(tt_d, n_tx_local), 4),
         k_tb=_round_up(deg(sg_d, spec.bd_rows.size), 8),
         k_cand=_round_up(deg(ca_s, n_tx_local), 4),

@@ -86,7 +86,10 @@ def points_in_polygons(
     from .. import native
 
     if native.available():
-        return native.points_in_polygons(points, polygons, distances)
+        p_arr, g_arr = native.points_in_polygons(
+            points, polygons, distances
+        )
+        return _canonical_join_order(p_arr, g_arr)
 
     tree = KDTree(points)
     p_idx, g_idx = [], []
@@ -105,7 +108,22 @@ def points_in_polygons(
                 g_idx.append(np.full(int(hit.sum()), gi, dtype=np.int64))
     if not p_idx:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    return np.concatenate(p_idx), np.concatenate(g_idx)
+    return _canonical_join_order(
+        np.concatenate(p_idx), np.concatenate(g_idx)
+    )
+
+
+def _canonical_join_order(p_idx: np.ndarray, g_idx: np.ndarray):
+    """Polygon-major, point-minor edge order.
+
+    The native join appends per-thread buffers in completion order and
+    the KDTree path follows ball-query traversal order — both emit the
+    same edge SET in a run-dependent ORDER, which leaks into padded-CSR
+    slot assignment and breaks run-to-run determinism of candidate
+    argmax tie-breaks (caught by tests/test_columnar.py pipeline
+    parity).  One lexsort makes every path canonical."""
+    order = np.lexsort((p_idx, g_idx))
+    return p_idx[order], g_idx[order]
 
 
 def polygons_in_polygons(

@@ -28,7 +28,7 @@ banding design itself is verified feasible: strip-major ordering bounds
 every 256-row block's neighbor window to ~1.2k rows at Xenium density,
 zero spill at W=4096.  Revisit on a newer libtpu/Mosaic
 (``tools/banded_retest.py``).  Retest history: jax 0.9.0 / libtpu
-0.0.34 (2026-08-18) — still crashes at >=256 rows.
+0.0.34 (2026-08-18, re-confirmed 2026-08-19) — still crashes at >=256 rows.
 """
 from __future__ import annotations
 

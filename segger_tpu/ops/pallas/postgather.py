@@ -63,13 +63,23 @@ _NEG_INF = -1e30
 _F32 = jnp.float32
 
 
+import os
+
+_BLOCK_EDGE_ROWS = int(os.environ.get("SEGGER_PG_BLOCK_EDGES", "2048"))
+
+
 def _block_rows(k: int) -> int:
-    """Destination rows per grid step: keep B*K edge rows bounded so the
-    (B, K, HC) f32 tensors in flight stay ~0.5 MB.  One size serves the
-    forward and the backward: the backward holds more tensors (sizing
-    constraint) and reuses the forward-padded gathered residual (same
-    grid constraint)."""
-    return max(8, min(512, (1024 // max(k, 1)) // 8 * 8))
+    """Destination rows per grid step.
+
+    B*K edge rows per block; (B, K, HC) f32 tensors in flight are then
+    ~1 MB at the 2048 default.  Sizing is overhead-vs-VMEM: at 1024 the
+    measured per-grid-step cost (~1.9 us against ~0.4 us of DMA+compute)
+    left the edge-stage kernels at ~150 GB/s on a ~600 GB/s chip; 2048
+    halves the step count.  One size serves the forward and the
+    backward: the backward holds the most tensors (the VMEM ceiling)
+    and reuses the forward-padded gathered residual (same grid).
+    Override with SEGGER_PG_BLOCK_EDGES for tuning runs."""
+    return max(8, min(1024, (_BLOCK_EDGE_ROWS // max(k, 1)) // 8 * 8))
 
 
 def _head_matrices(att: jnp.ndarray, dtype) -> Tuple[jnp.ndarray, ...]:

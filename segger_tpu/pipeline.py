@@ -66,12 +66,19 @@ class ISTPipeline:
 
     def __init__(
         self,
-        transcripts: pd.DataFrame,
+        transcripts,
         boundaries: pd.DataFrame,
         polygons: dict,
         config: Optional[PipelineConfig] = None,
     ):
-        """``polygons``: (cell_id, boundary_type) -> (V, 2) vertex array."""
+        """``polygons``: (cell_id, boundary_type) -> (V, 2) vertex array.
+
+        ``transcripts``: a standardized DataFrame, or a
+        :class:`segger_tpu.data.columnar.ColumnarTranscripts` table for
+        out-of-core slides (typed arrays / disk-backed memmaps instead
+        of object columns — see that module's docstring; the 10M-tx
+        DataFrame path peaks at ~30 GB RSS, mostly strings).
+        """
         config = PipelineConfig() if config is None else config
         self.tx_f = StandardTranscriptFields()
         self.bd_f = StandardBoundaryFields()
@@ -86,8 +93,11 @@ class ISTPipeline:
     # ------------------------------------------------------------------
     def load(self):
         """Feature + graph construction (reference: data_module.py:171-286)."""
+        from .data.columnar import ColumnarTranscripts
+
         cfg, tx_f, bd_f = self.cfg, self.tx_f, self.bd_f
         tx = self.transcripts
+        columnar = isinstance(tx, ColumnarTranscripts)
 
         # segmentation compartment mask (data_module.py:184-200)
         if cfg.segmentation_graph_mode == "nucleus":
@@ -101,10 +111,15 @@ class ISTPipeline:
                 f"Unrecognized segmentation graph mode: "
                 f"'{cfg.segmentation_graph_mode}'."
             )
-        seg_mask = np.asarray(
-            tx[tx_f.compartment].isin(compartments).to_numpy()
-        ).copy()
-        seg_mask &= tx[tx_f.cell_id].notna().to_numpy()
+        if columnar:
+            seg_mask = np.isin(np.asarray(tx.compartment),
+                               np.asarray(compartments, np.int8))
+            seg_mask &= np.asarray(tx.cell_code) >= 0
+        else:
+            seg_mask = np.asarray(
+                tx[tx_f.compartment].isin(compartments).to_numpy()
+            ).copy()
+            seg_mask &= tx[tx_f.cell_id].notna().to_numpy()
 
         gene_corr_reference = None
         if cfg.gene_corr_reference_path is not None:
@@ -125,10 +140,7 @@ class ISTPipeline:
 
         logger.info("setup_features on %d masked transcripts",
                     int(seg_mask.sum()))
-        self.adata = setup_features(
-            transcripts=tx[seg_mask],
-            boundaries=self.boundaries,
-            cell_column=tx_f.cell_id,
+        feature_kwargs = dict(
             cells_embedding_size=cfg.cells_embedding_size,
             cells_min_counts=cfg.cells_min_counts,
             cells_clusters_n_neighbors=cfg.cells_clusters_n_neighbors,
@@ -144,6 +156,19 @@ class ISTPipeline:
             morphology_props=morph,
             seed=cfg.seed,
         )
+        if columnar:
+            from .data.columnar import anndata_from_columnar
+            from .data.features import setup_features_from_anndata
+
+            ad0 = anndata_from_columnar(tx, mask=seg_mask)
+            self.adata = setup_features_from_anndata(ad0, **feature_kwargs)
+        else:
+            self.adata = setup_features(
+                transcripts=tx[seg_mask],
+                boundaries=self.boundaries,
+                cell_column=tx_f.cell_id,
+                **feature_kwargs,
+            )
 
         # prediction polygons: mode-matching boundary type
         pred_type = (
@@ -158,8 +183,7 @@ class ISTPipeline:
         ]
 
         logger.info("building whole-slide graph")
-        self.graph = build_host_graph(
-            transcripts=tx,
+        graph_kwargs = dict(
             adata=self.adata,
             segmentation_mask=seg_mask,
             cells_embedding_key=(
@@ -177,6 +201,12 @@ class ISTPipeline:
             if poly_items
             else None,
         )
+        if columnar:
+            from .data.assemble import build_host_graph_columnar
+
+            self.graph = build_host_graph_columnar(tx, **graph_kwargs)
+        else:
+            self.graph = build_host_graph(transcripts=tx, **graph_kwargs)
 
         logger.info("tiling (%s, %d nodes/tile)", cfg.tiling_mode,
                     cfg.tiling_nodes_per_tile)
@@ -218,7 +248,12 @@ class ISTPipeline:
             predictions,
             cell_ids=self.graph.bd_cell_id,
             gene_names=self.adata.var.index.to_numpy().astype(str),
-            transcripts=self.transcripts,
+            # the h5ad export consumes a DataFrame; columnar runs skip
+            # it (the assignment table itself is written either way)
+            transcripts=(
+                self.transcripts
+                if isinstance(self.transcripts, pd.DataFrame) else None
+            ),
         )
         self.trainer = trainer
         return seg

@@ -99,10 +99,11 @@ def test_bf16_inputs(rng):
 
 
 def test_block_rows_adapt():
-    assert postgather._block_rows(8) == 128
-    assert postgather._block_rows(16) == 64
-    assert postgather._block_rows(64) == 16
-    assert postgather._block_rows(1) == 512
+    edges = postgather._BLOCK_EDGE_ROWS
+    assert postgather._block_rows(8) == (edges // 8) // 8 * 8
+    assert postgather._block_rows(16) == (edges // 16) // 8 * 8
+    assert postgather._block_rows(64) == max(8, (edges // 64) // 8 * 8)
+    assert postgather._block_rows(1) == min(1024, edges // 8 * 8)
 
 
 def test_supported_gate(rng):
