@@ -288,14 +288,17 @@ class XeniumPreprocessor(ISTPreprocessor):
             0, std.row_index,
             np.arange(row_offset, row_offset + len(df), dtype=np.int64),
         )
-        # binary columns -> str (some Xenium parquet stores these binary)
+        # binary columns -> str (post-2.0 Xenium parquet stores
+        # feature_name/cell_id as BINARY); normalize to object dtype so
+        # the eager and streaming paths emit identical frames
+        # (str.decode returns StringDtype on some pandas versions)
         for col in (raw.feature, raw.cell_id):
             if df[col].dtype == object and len(df) and isinstance(
                 df[col].iloc[0], bytes
             ):
-                df[col] = df[col].str.decode("utf-8")
+                df[col] = df[col].str.decode("utf-8").astype(object)
             else:
-                df[col] = df[col].astype(str)
+                df[col] = df[col].astype(str).astype(object)
         df = df[df[raw.quality] >= 20]
         pattern = "|".join(
             s.replace("*", ".*") for s in raw.filter_substrings
@@ -310,7 +313,7 @@ class XeniumPreprocessor(ISTPreprocessor):
                      std.extracellular_value),
         ).astype(np.int8)
         cell_id = df[raw.cell_id].where(has_cell, None)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 std.row_index: df[std.row_index].to_numpy(),
                 std.x: df[raw.x].to_numpy(np.float64),
@@ -320,6 +323,13 @@ class XeniumPreprocessor(ISTPreprocessor):
                 std.compartment: compartment,
             }
         ).reset_index(drop=True)
+        # pin string columns to object dtype: pandas infers StringDtype
+        # for non-empty str frames but object for empty ones, so
+        # streamed batches would otherwise concat to a different dtype
+        # than the eager path (tests/test_vendor_fixtures.py)
+        out[std.feature] = out[std.feature].astype(object)
+        out[std.cell_id] = out[std.cell_id].astype(object)
+        return out
 
     def iter_transcripts(self, batch_rows: int = 4_000_000):
         """Stream standardized transcript batches without materializing

@@ -29,16 +29,18 @@ Layout strategy (the part that makes this fast on TPU):
   expanded by one (H, HC) matmul (E[h, j] = [head(j) == h]).
 - Softmax statistics are always f32 even when features are bf16.
 
-Backward: same blocking, recomputes the cheap forward chain from the
-gathered tensor and emits dgather/dxr/datt/dkeep in one kernel; dxl is
-then a scatter-free transpose-space gather in XLA (csr_t), identical to
-ops/edge_stage.py's approach.  The gathered (padded) tensor itself is
-saved as a VJP residual — re-gathering it in the backward would cost an
-extra random-read + sequential-write HBM round trip of the largest
-tensor in the stage (~40% of backward traffic) for ~100 MB/layer of
-residual memory saved, the wrong trade at tile scale.  Forward and
-backward share one block size so the residual's padding is valid for
-both grids.
+Backward: same blocking; the forward saves TWO residuals — the padded
+gathered tensor (re-gathering would cost an extra random-read +
+sequential-write round trip of the stage's largest tensor) and the
+compact (N, K, H) f32 softmax coefficients (recomputing them was the
+backward's dominant VPU cost: mask/matmul/max/exp/sum/div chains over
+(N, K, HC) f32).  The backward kernel lane-expands alpha with one MXU
+matmul, recomputes only the cheap p/sign chain, and emits
+dgather/dxr/datt/dkeep in one pass.  dxl is then a scatter-free
+transpose-space gather in XLA (csr_t) whose invalid slots route to a
+guaranteed-zero padded row (alpha == 0 there), so it sums without a
+full-size mask select.  Forward and backward share one block size so
+the residual's padding is valid for both grids.
 """
 from __future__ import annotations
 
@@ -129,8 +131,20 @@ def _keep3(keep, e):
     ).reshape(b, k, hc)
 
 
+def _alpha_compact(alpha, e, ch):
+    """Lane-replicated (B, K, HC) alpha -> compact (B, K, H) f32 via one
+    MXU matmul (each head's ch lanes hold one value; e.T sums them,
+    1/ch rescales)."""
+    b, k, hc = alpha.shape
+    return jnp.dot(
+        (alpha * (1.0 / ch)).reshape(b * k, hc),
+        e.astype(_F32).T,
+        preferred_element_type=_F32,
+    ).reshape(b, k, e.shape[0])
+
+
 def _fwd_kernel(g_ref, xr_ref, mask_ref, keep_ref, am_ref, e_ref,
-                out_ref, *, slope: float):
+                out_ref, alpha_ref, *, slope: float):
     """One destination block: fused leaky/logits/softmax/weighted-sum.
 
     g_ref    : (B, K, HC) gathered source features
@@ -140,23 +154,32 @@ def _fwd_kernel(g_ref, xr_ref, mask_ref, keep_ref, am_ref, e_ref,
     am_ref   : (HC, HC) attention lane-replication matrix
     e_ref    : (H, HC) head -> lanes expander
     out_ref  : (B, HC)
+    alpha_ref: (B, K, H) f32 — compact PRE-dropout softmax coefficients,
+               saved as a residual so the backward skips the whole
+               logits/softmax recompute chain (its dominant VPU cost)
     """
     g = g_ref[:]
+    e = e_ref[:]
+    ch = g.shape[-1] // e.shape[0]
     mask3 = mask_ref[:][..., None] > 0
     _, alpha = _alpha3(g, xr_ref[:], mask3, am_ref[:], slope)
-    w = alpha * _keep3(keep_ref[:], e_ref[:])
+    alpha_ref[:] = _alpha_compact(alpha, e, ch)
+    w = alpha * _keep3(keep_ref[:], e)
     out = (w * g.astype(_F32)).sum(axis=1)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _fwd_kernel_nokeep(g_ref, xr_ref, mask_ref, am_ref, out_ref,
-                       *, slope: float):
+def _fwd_kernel_nokeep(g_ref, xr_ref, mask_ref, am_ref, e_ref, out_ref,
+                       alpha_ref, *, slope: float):
     """Deterministic-mode forward: no dropout multipliers, so the
     (B, K, H) keep load, its lane-expansion matmul, and the extra
     (B, K, HC) multiply are all skipped."""
     g = g_ref[:]
+    e = e_ref[:]
+    ch = g.shape[-1] // e.shape[0]
     mask3 = mask_ref[:][..., None] > 0
     _, alpha = _alpha3(g, xr_ref[:], mask3, am_ref[:], slope)
+    alpha_ref[:] = _alpha_compact(alpha, e, ch)
     out = (alpha * g.astype(_F32)).sum(axis=1)
     out_ref[:] = out.astype(out_ref.dtype)
 
@@ -200,80 +223,85 @@ def _prng_keep(seed_ref, b, k, heads, thresh, inv_keep):
 
 
 def _fwd_kernel_prng(g_ref, xr_ref, mask_ref, seed_ref, am_ref, e_ref,
-                     out_ref, *, slope: float, heads: int, thresh: int,
-                     inv_keep: float):
+                     out_ref, alpha_ref, *, slope: float, heads: int,
+                     thresh: int, inv_keep: float):
     """Dropout-mode forward with in-kernel PRNG keep generation."""
     g = g_ref[:]
     b, k, hc = g.shape
+    e = e_ref[:]
     mask3 = mask_ref[:][..., None] > 0
     _, alpha = _alpha3(g, xr_ref[:], mask3, am_ref[:], slope)
+    alpha_ref[:] = _alpha_compact(alpha, e, hc // heads)
     keep = _prng_keep(seed_ref, b, k, heads, thresh, inv_keep)
-    w = alpha * _keep3(keep, e_ref[:])
+    w = alpha * _keep3(keep, e)
     out = (w * g.astype(_F32)).sum(axis=1)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _bwd_kernel(g_ref, xr_ref, mask_ref, keep_ref, am_ref, e_ref,
-                ms_ref, go_ref,
-                dg_ref, dxr_ref, datt_ref, dkeep_ref,
-                *, heads: int, slope: float):
-    """Backward over one block:
+def _bwd_core(g, xr, alpha, kl, att_lane, ms, go, slope):
+    """Shared backward math given the STORED compact-expanded alpha.
+
+    The forward residual carries alpha, so the logits/softmax chain
+    (mask, matmul, max, sub, exp, sum, div — the backward's dominant
+    VPU cost) is never recomputed; only the cheap p/s/leak chain is.
+    alpha is exactly zero on masked slots and padding rows (masked
+    softmax), which makes de/dp/dg/dxr/datt zero there with NO explicit
+    mask loads or selects.
 
       dA    = group-sum-broadcast(G ⊗ g)              (lane space)
-      de    = alpha * (dA keep - Σ_k alpha dA keep)    (softmax VJP)
-      dg    = alpha keep G + de * att * leaky'(p)
+      de    = alpha * (dA kl - Σ_k alpha dA kl)        (softmax VJP)
+      dg    = alpha kl G + de * att * leaky'(p)
       dxr   = Σ_k de * att * leaky'(p)
-      datt += Σ_rows Σ_k de * s                        (att lane layout)
-      dkeep = head-compact(alpha * dA)
+      datt  = Σ_rows Σ_k de * s                        (att lane layout)
     """
-    blk = pl.program_id(0)
-    g = g_ref[:]
-    xr = xr_ref[:]
-    am = am_ref[:]
-    ms = ms_ref[:]
-    e = e_ref[:]
-    go = go_ref[:]
     dt = xr.dtype
     b, k, hc = g.shape
-    ch = hc // heads
-    # att in lane layout = diagonal of AM (static iota mask)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (hc, hc), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (hc, hc), 1)
-    att32 = jnp.sum(
-        jnp.where(ri == ci, am, 0.0), axis=0, keepdims=True
-    ).astype(_F32)                                     # (1, HC)
-
-    mask3 = mask_ref[:][..., None] > 0
-    s, alpha = _alpha3(g, xr, mask3, am, slope)
-    kl = _keep3(keep_ref[:], e)
-
     go3 = go.astype(_F32)[:, None, :]                  # (B, 1, HC)
     t = (go[:, None, :] * g).astype(dt)                # (B, K, HC)
     dA = jnp.dot(
         t.reshape(b * k, hc), ms, preferred_element_type=_F32
     ).reshape(b, k, hc)
-    dalpha = dA * kl
+    dalpha = dA if kl is None else dA * kl
     inner = (alpha * dalpha).sum(axis=1, keepdims=True)
-    de = jnp.where(mask3, alpha * (dalpha - inner), 0.0)
+    de = alpha * (dalpha - inner)
 
+    p = g + xr[:, None, :]
+    p_pos = p.astype(_F32) > 0
+    s = jnp.where(p_pos, p, slope * p)
     datt_part = (de * s.astype(_F32)).reshape(b * k, hc).sum(
         axis=0, keepdims=True
     )                                                  # (1, HC)
-    p_pos = (g + xr[:, None, :]).astype(_F32) > 0
     leak = jnp.where(p_pos, 1.0, slope)
-    dp = de * att32[None] * leak
-    dxr_ref[:] = dp.sum(axis=1).astype(dt)
-    # head-compact alpha*dA: each head's lanes hold one value; summing
-    # via e.T over-counts by ch — scale by 1/ch.
-    # f32 accumulate (Mosaic requires 32-bit matmul acc), cast after
-    dkeep = jnp.dot(
-        (alpha * dA * (1.0 / ch)).reshape(b * k, hc),
-        e.astype(_F32).T,
-        preferred_element_type=_F32,
-    ).reshape(b, k, heads)
-    dkeep_ref[:] = dkeep.astype(dt)
-    dg = alpha * kl * go3 + dp
-    dg_ref[:] = jnp.where(mask3, dg, 0.0).astype(dt)
+    dp = de * att_lane[None] * leak
+    dxr = dp.sum(axis=1).astype(dt)
+    a_eff = alpha if kl is None else alpha * kl
+    dg = (a_eff * go3 + dp).astype(dt)
+    return dA, de, dg, dxr, datt_part
+
+
+def _bwd_kernel(g_ref, xr_ref, alpha_ref, keep_ref, att_ref, e_ref,
+                ms_ref, go_ref,
+                dg_ref, dxr_ref, datt_ref, dkeep_ref,
+                *, heads: int, slope: float):
+    """Backward over one block from the stored compact alpha
+    (see _bwd_core)."""
+    blk = pl.program_id(0)
+    g = g_ref[:]
+    e = e_ref[:]
+    b, k, hc = g.shape
+    ch = hc // heads
+    alpha = _keep3(alpha_ref[:], e)                    # lane-expand
+    kl = _keep3(keep_ref[:], e)
+    dA, de, dg, dxr, datt_part = _bwd_core(
+        g, xr_ref[:], alpha, kl, att_ref[:].astype(_F32), ms_ref[:],
+        go_ref[:], slope,
+    )
+    dxr_ref[:] = dxr
+    # head-compact alpha*dA (dkeep): each head's lanes hold one value
+    dkeep_ref[:] = _alpha_compact(alpha * dA, e, ch).astype(
+        dkeep_ref.dtype
+    )
+    dg_ref[:] = dg
 
     @pl.when(blk == 0)
     def _():
@@ -281,8 +309,8 @@ def _bwd_kernel(g_ref, xr_ref, mask_ref, keep_ref, am_ref, e_ref,
     datt_ref[:] = datt_ref[:] + datt_part.astype(datt_ref.dtype)
 
 
-def _bwd_kernel_prng(g_ref, xr_ref, mask_ref, seed_ref, am_ref, e_ref,
-                     ms_ref, go_ref,
+def _bwd_kernel_prng(g_ref, xr_ref, alpha_ref, seed_ref, att_ref,
+                     e_ref, ms_ref, go_ref,
                      dg_ref, dxr_ref, datt_ref,
                      *, heads: int, slope: float, thresh: int,
                      inv_keep: float):
@@ -291,42 +319,17 @@ def _bwd_kernel_prng(g_ref, xr_ref, mask_ref, seed_ref, am_ref, e_ref,
     no dkeep output — keep is not a differentiable input."""
     blk = pl.program_id(0)
     g = g_ref[:]
-    xr = xr_ref[:]
-    am = am_ref[:]
-    ms = ms_ref[:]
     e = e_ref[:]
-    go = go_ref[:]
-    dt = xr.dtype
     b, k, hc = g.shape
-    ri = jax.lax.broadcasted_iota(jnp.int32, (hc, hc), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (hc, hc), 1)
-    att32 = jnp.sum(
-        jnp.where(ri == ci, am, 0.0), axis=0, keepdims=True
-    ).astype(_F32)                                     # (1, HC)
-
-    mask3 = mask_ref[:][..., None] > 0
-    s, alpha = _alpha3(g, xr, mask3, am, slope)
+    alpha = _keep3(alpha_ref[:], e)
     keep = _prng_keep(seed_ref, b, k, heads, thresh, inv_keep)
     kl = _keep3(keep, e)
-
-    go3 = go.astype(_F32)[:, None, :]
-    t = (go[:, None, :] * g).astype(dt)
-    dA = jnp.dot(
-        t.reshape(b * k, hc), ms, preferred_element_type=_F32
-    ).reshape(b, k, hc)
-    dalpha = dA * kl
-    inner = (alpha * dalpha).sum(axis=1, keepdims=True)
-    de = jnp.where(mask3, alpha * (dalpha - inner), 0.0)
-
-    datt_part = (de * s.astype(_F32)).reshape(b * k, hc).sum(
-        axis=0, keepdims=True
+    _, _, dg, dxr, datt_part = _bwd_core(
+        g, xr_ref[:], alpha, kl, att_ref[:].astype(_F32), ms_ref[:],
+        go_ref[:], slope,
     )
-    p_pos = (g + xr[:, None, :]).astype(_F32) > 0
-    leak = jnp.where(p_pos, 1.0, slope)
-    dp = de * att32[None] * leak
-    dxr_ref[:] = dp.sum(axis=1).astype(dt)
-    dg = alpha * kl * go3 + dp
-    dg_ref[:] = jnp.where(mask3, dg, 0.0).astype(dt)
+    dxr_ref[:] = dxr
+    dg_ref[:] = dg
 
     @pl.when(blk == 0)
     def _():
@@ -334,45 +337,21 @@ def _bwd_kernel_prng(g_ref, xr_ref, mask_ref, seed_ref, am_ref, e_ref,
     datt_ref[:] = datt_ref[:] + datt_part.astype(datt_ref.dtype)
 
 
-def _bwd_kernel_nokeep(g_ref, xr_ref, mask_ref, am_ref, ms_ref, go_ref,
+def _bwd_kernel_nokeep(g_ref, xr_ref, alpha_ref, att_ref, e_ref,
+                       ms_ref, go_ref,
                        dg_ref, dxr_ref, datt_ref,
                        *, heads: int, slope: float):
     """Deterministic-mode backward (keep == 1): drops the keep loads,
     the lane expansions, and the dkeep output."""
     blk = pl.program_id(0)
     g = g_ref[:]
-    xr = xr_ref[:]
-    am = am_ref[:]
-    ms = ms_ref[:]
-    go = go_ref[:]
-    dt = xr.dtype
-    b, k, hc = g.shape
-    ri = jax.lax.broadcasted_iota(jnp.int32, (hc, hc), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (hc, hc), 1)
-    att32 = jnp.sum(
-        jnp.where(ri == ci, am, 0.0), axis=0, keepdims=True
-    ).astype(_F32)                                     # (1, HC)
-
-    mask3 = mask_ref[:][..., None] > 0
-    s, alpha = _alpha3(g, xr, mask3, am, slope)
-
-    go3 = go.astype(_F32)[:, None, :]
-    t = (go[:, None, :] * g).astype(dt)
-    dA = jnp.dot(
-        t.reshape(b * k, hc), ms, preferred_element_type=_F32
-    ).reshape(b, k, hc)
-    inner = (alpha * dA).sum(axis=1, keepdims=True)
-    de = jnp.where(mask3, alpha * (dA - inner), 0.0)
-
-    datt_part = (de * s.astype(_F32)).reshape(b * k, hc).sum(
-        axis=0, keepdims=True
+    alpha = _keep3(alpha_ref[:], e_ref[:])
+    _, _, dg, dxr, datt_part = _bwd_core(
+        g, xr_ref[:], alpha, None, att_ref[:].astype(_F32), ms_ref[:],
+        go_ref[:], slope,
     )
-    p_pos = (g + xr[:, None, :]).astype(_F32) > 0
-    leak = jnp.where(p_pos, 1.0, slope)
-    dp = de * att32[None] * leak
-    dxr_ref[:] = dp.sum(axis=1).astype(dt)
-    dg = alpha * go3 + dp
-    dg_ref[:] = jnp.where(mask3, dg, 0.0).astype(dt)
+    dxr_ref[:] = dxr
+    dg_ref[:] = dg
 
     @pl.when(blk == 0)
     def _():
@@ -452,10 +431,18 @@ def _prng_config(config):
 
 
 def _prep(xl, xr, keep_mask, csr, blk):
-    """Gather + pad to the block multiple."""
+    """Gather + pad to the block multiple.
+
+    Padding is STRICTLY more than n_dst (one extra block when n_dst is
+    already a multiple): the backward's dxl gather routes every invalid
+    transpose slot at flat position ``n_dst * k`` — a padded row whose
+    dg the kernel provably writes as zero — so the (Ns, Kt, HC) gather
+    needs no value select and sums unmasked."""
     n_dst, k = csr.idx.shape
     hc = xl.shape[-1]
     n_pad = -(-n_dst // blk) * blk
+    if n_pad == n_dst:
+        n_pad += blk
     idx = _pad_rows(csr.idx, n_pad)
     # mask stays f32: 16-bit minor-dim broadcast is unsupported in
     # Mosaic, and the array is tiny
@@ -473,25 +460,51 @@ def _prep(xl, xr, keep_mask, csr, blk):
     return g3, xr_p, keep, mask_f, n_dst, n_pad, k, hc
 
 
-def _common_specs(blk, k, hc, heads, mode):
+def _fwd_specs(blk, k, hc, heads, mode):
     specs = [
         pl.BlockSpec((blk, k, hc), lambda b: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
+                     memory_space=pltpu.VMEM),               # g
         pl.BlockSpec((blk, hc), lambda b: (b, 0),
-                     memory_space=pltpu.VMEM),
+                     memory_space=pltpu.VMEM),               # xr
         pl.BlockSpec((blk, k), lambda b: (b, 0),
-                     memory_space=pltpu.VMEM),
+                     memory_space=pltpu.VMEM),               # mask
     ]
     if mode == "keep":
         specs.append(pl.BlockSpec((blk, k, heads), lambda b: (b, 0, 0),
-                                  memory_space=pltpu.VMEM))
+                                  memory_space=pltpu.VMEM))  # keep
     elif mode == "prng":
         specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # seed (2,)
     specs.append(pl.BlockSpec((hc, hc), lambda b: (0, 0),
-                              memory_space=pltpu.VMEM))
-    if mode in ("keep", "prng"):
-        specs.append(pl.BlockSpec((heads, hc), lambda b: (0, 0),
-                                  memory_space=pltpu.VMEM))
+                              memory_space=pltpu.VMEM))      # am
+    specs.append(pl.BlockSpec((heads, hc), lambda b: (0, 0),
+                              memory_space=pltpu.VMEM))      # e
+    return specs
+
+
+def _bwd_specs(blk, k, hc, heads, mode):
+    specs = [
+        pl.BlockSpec((blk, k, hc), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),               # g
+        pl.BlockSpec((blk, hc), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),               # xr
+        pl.BlockSpec((blk, k, heads), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),               # alpha_c
+    ]
+    if mode == "keep":
+        specs.append(pl.BlockSpec((blk, k, heads), lambda b: (b, 0, 0),
+                                  memory_space=pltpu.VMEM))  # keep
+    elif mode == "prng":
+        specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # seed (2,)
+    specs.extend([
+        pl.BlockSpec((1, hc), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),               # att lanes
+        pl.BlockSpec((heads, hc), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),               # e
+        pl.BlockSpec((hc, hc), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),               # ms
+        pl.BlockSpec((blk, hc), lambda b: (b, 0),
+                     memory_space=pltpu.VMEM),               # go
+    ])
     return specs
 
 
@@ -513,40 +526,50 @@ def _fwd_rule(xl, xr, att, keep_mask, csr, csr_t, config):
         operands = (g3, xr_p, mask_f, seed, am, e)
     elif mode == "nokeep":
         kern = functools.partial(_fwd_kernel_nokeep, slope=slope)
-        operands = (g3, xr_p, mask_f, am)
+        operands = (g3, xr_p, mask_f, am, e)
     else:
         kern = functools.partial(_fwd_kernel, slope=slope)
         operands = (g3, xr_p, mask_f, keep, am, e)
-    out = pl.pallas_call(
+    out, alpha_c = pl.pallas_call(
         kern,
         grid=(n_pad // blk,),
-        in_specs=_common_specs(blk, k, hc, heads, mode),
-        out_specs=pl.BlockSpec((blk, hc), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, hc), xr.dtype),
+        in_specs=_fwd_specs(blk, k, hc, heads, mode),
+        out_specs=[
+            pl.BlockSpec((blk, hc), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, k, heads), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, hc), xr.dtype),
+            jax.ShapeDtypeStruct((n_pad, k, heads), _F32),
+        ],
         interpret=interpret,
     )(*operands)
-    # g3 (the padded gathered tensor) rides as a residual so the
-    # backward never re-gathers; n_src recovers dxl's row count
-    return out[:n_dst], (g3, xr, att, keep_mask, csr, csr_t, xl.shape[0])
+    # g3 (the padded gathered tensor) and the compact pre-dropout alpha
+    # ride as residuals: the backward neither re-gathers nor recomputes
+    # the softmax chain; n_src recovers dxl's row count
+    return out[:n_dst], (g3, alpha_c, xr, att, keep_mask, csr, csr_t,
+                         xl.shape[0])
 
 
 def _bwd_rule(config, res, G):
     heads, slope, interpret = config[:3]
-    g3, xr, att, keep_mask, csr, csr_t, n_src = res
+    g3, alpha_c, xr, att, keep_mask, csr, csr_t, n_src = res
     mode = _keep_mode(keep_mask)
     blk = _block_rows(csr.idx.shape[1])
     n_dst, k = csr.idx.shape
     n_pad, _, hc = g3.shape
     xr_p = _pad_rows(xr, n_pad)
-    mask_f = _pad_rows(csr.mask, n_pad).astype(jnp.float32)
     keep = (
         _pad_rows(keep_mask.astype(g3.dtype), n_pad)
         if mode == "keep" else None
     )
     G_p = _pad_rows(G, n_pad)
-    am, ms, e = _head_matrices(att, xr.dtype)
-    common = _common_specs(blk, k, hc, heads, mode)
+    _, ms, e = _head_matrices(att, xr.dtype)
+    # att in lane layout: (H, C) flattened is exactly the per-lane
+    # attention vector (group(lane) == lane // C)
+    att_lane = att.reshape(1, hc).astype(xr.dtype)
     out_specs = [
         pl.BlockSpec((blk, k, hc), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -567,28 +590,24 @@ def _bwd_rule(config, res, G):
             _bwd_kernel_prng, heads=heads, slope=slope, thresh=thresh,
             inv_keep=inv_keep,
         )
-        operands = (g3, xr_p, mask_f, seed, am, e, ms, G_p)
+        operands = (g3, xr_p, alpha_c, seed, att_lane, e, ms, G_p)
     elif mode == "nokeep":
         kern = functools.partial(_bwd_kernel_nokeep, heads=heads,
                                  slope=slope)
-        operands = (g3, xr_p, mask_f, am, ms, G_p)
+        operands = (g3, xr_p, alpha_c, att_lane, e, ms, G_p)
     else:
         kern = functools.partial(_bwd_kernel, heads=heads, slope=slope)
-        operands = (g3, xr_p, mask_f, keep, am, e, ms, G_p)
+        operands = (g3, xr_p, alpha_c, keep, att_lane, e, ms, G_p)
         out_specs.append(pl.BlockSpec((blk, k, heads),
                                       lambda b: (b, 0, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(
             jax.ShapeDtypeStruct((n_pad, k, heads), xr.dtype))
+    in_specs = _bwd_specs(blk, k, hc, heads, mode)
     res = pl.pallas_call(
         kern,
         grid=(n_pad // blk,),
-        in_specs=common + [
-            pl.BlockSpec((hc, hc), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, hc), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
@@ -605,11 +624,17 @@ def _bwd_rule(config, res, G):
     datt = datt_f.reshape(heads, ch).astype(att.dtype)
     # dxl: transpose-space gather of dg (scatter-free, same as
     # ops/edge_stage.py): csr_t.idx holds flat (dst*K + slot) positions.
-    dg_flat = dg3[:n_dst].reshape(n_dst * k, hc)
+    # Invalid transpose slots route to flat position n_dst*k — a padded
+    # row the kernel wrote as zero (alpha == 0 there) — so the gathered
+    # rows sum WITHOUT a (Ns, Kt, HC)-sized mask select (_prep
+    # guarantees n_pad > n_dst).
+    dg_flat = dg3.reshape(n_pad * k, hc)
+    zero_slot = jnp.int32(n_dst * k)
+    t_idx = jnp.where(csr_t.mask, csr_t.idx, zero_slot)
     rows = jnp.take(
-        dg_flat, csr_t.idx, axis=0, mode="clip"
+        dg_flat, t_idx, axis=0, mode="clip"
     )                                                 # (Ns, Kt, HC)
-    dxl = jnp.where(csr_t.mask[..., None], rows, 0.0).sum(axis=1)
+    dxl = rows.sum(axis=1)
     return dxl.astype(g3.dtype), dxr, datt, dkeep, None, None
 
 

@@ -417,9 +417,16 @@ class SeggerTrainer:
         self,
         fit_tiles: Sequence[TileSpec],
         max_epochs: Optional[int] = None,
+        on_epoch_end=None,
     ) -> List[Dict]:
         """Train/val loop with tile split + per-epoch repacking
-        (reference: data_module.py:294-306, sampler regeneration)."""
+        (reference: data_module.py:294-306, sampler regeneration).
+
+        ``on_epoch_end(epoch, trainer)``: optional callback invoked
+        after each epoch's metrics record (the Lightning-callback
+        analogue; used e.g. by the quality-saturation sweep to predict
+        at intermediate epochs without disturbing the run's PRNG or
+        weight schedules)."""
         cfg = self.cfg
         max_epochs = (
             cfg.max_epochs if max_epochs is None else max_epochs
@@ -527,6 +534,8 @@ class SeggerTrainer:
                 )
             logger.info("epoch %d: %s", epoch, rec)
             self.history.append(rec)
+            if on_epoch_end is not None:
+                on_epoch_end(epoch, self)
             if (
                 cfg.checkpoint_dir
                 and cfg.checkpoint_every
