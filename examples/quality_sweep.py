@@ -61,6 +61,7 @@ def main():
     from segger_tpu.utils import peak_rss_gb
 
     out_dir = args.out or tempfile.mkdtemp(prefix="segger_sweep_")
+    os.makedirs(out_dir, exist_ok=True)
     synth = make_synthetic(
         n_cells=args.n_cells, n_genes=200, mean_tx_per_cell=25,
         extent=400.0 * np.sqrt(args.n_cells / 200), seed=0,
