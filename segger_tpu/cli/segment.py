@@ -104,6 +104,11 @@ def add_segment_parser(sub):
                    help="Use a 2-D grid decomposition (e.g. 4x2) for "
                         "the distributed train/predict paths instead "
                         "of 1-D strips — for slides large in both axes")
+    p.add_argument("--low-memory", action="store_true",
+                   help="Stream transcripts into a disk-spooled "
+                        "columnar table instead of a whole-slide "
+                        "DataFrame (bounded host RSS for 50M+ "
+                        "transcript slides; skips the h5ad export)")
     _registry().add_arguments(p)
     p.set_defaults(func=run_segment)
     return p
@@ -130,7 +135,15 @@ def run_segment(args) -> int:
     pp = get_preprocessor(args.input_directory, platform=args.platform)
     bd, polys = pp.boundaries
     cfg = PipelineConfig(**pipe_kwargs)
-    pipeline = ISTPipeline(pp.transcripts, bd, polys, cfg)
+    if args.low_memory:
+        from ..data.columnar import ColumnarTranscripts
+
+        tx = ColumnarTranscripts.from_chunks(
+            pp.iter_transcripts(), spool=out_dir / "transcripts_spool"
+        )
+    else:
+        tx = pp.transcripts
+    pipeline = ISTPipeline(tx, bd, polys, cfg)
     pipeline.load()
 
     mesh = None
@@ -188,7 +201,9 @@ def run_segment(args) -> int:
         predictions,
         cell_ids=pipeline.graph.bd_cell_id,
         gene_names=pipeline.adata.var.index.to_numpy().astype(str),
-        transcripts=pipeline.transcripts,
+        # the h5ad export consumes a DataFrame; --low-memory runs skip
+        # it (the assignment parquet is written either way)
+        transcripts=None if args.low_memory else pipeline.transcripts,
     )
     # training history as CSV (CSVLogger analogue, cli/segment.py:394)
     if trainer.history:

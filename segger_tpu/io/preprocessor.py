@@ -90,6 +90,20 @@ class ISTPreprocessor(ABC):
     def boundaries(self) -> Tuple[pd.DataFrame, Dict]:
         ...
 
+    def iter_transcripts(self, batch_rows: int = 4_000_000):
+        """Standardized transcript batches.
+
+        Platform readers with streaming-capable raw formats override
+        this (Xenium/CosMX/MERSCOPE); the fallback slices the eager
+        table, so every platform supports the out-of-core consumers
+        (``ColumnarTranscripts.from_chunks``, ``save(streaming=True)``,
+        the CLI ``--low-memory`` path)."""
+        tx = self.transcripts
+        for start in range(0, max(len(tx), 1), batch_rows):
+            chunk = tx.iloc[start:start + batch_rows]
+            if len(chunk):
+                yield chunk
+
     # ------------------------------------------------------------------
     def save(
         self,

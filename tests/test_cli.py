@@ -215,3 +215,38 @@ def test_preprocess_command_standardizes_raw_merscope(tmp_path):
     assert type(pp).__name__ == "StandardPreprocessor"
     tx = pp.transcripts
     assert len(tx) == len(s.transcripts)
+
+
+def test_segment_low_memory_matches_dataframe_path(dataset, tmp_path,
+                                                   segmented):
+    """--low-memory: disk-spooled columnar transcripts through the full
+    segment command; assignments must match the DataFrame-path run of
+    the same dataset/config exactly (the representation is not allowed
+    to change results)."""
+    out = tmp_path / "seg_lowmem"
+    r = run_cli(
+        "segment", "-i", dataset, "-o", out,
+        "--cells-embedding-size", 16,
+        "--cells-min-counts", 5,
+        "--genes-min-counts", 10,
+        "--tiling-nodes-per-tile", 2000,
+        "--tiling-margin-training", 10.0,
+        "--tiling-margin-prediction", 12.0,
+        "--prediction-graph-buffer-ratio", 0.2,
+        "--hidden-channels", 16,
+        "--out-channels", 16,
+        "--n-mid-layers", 0,
+        "--max-epochs", 2,
+        "--low-memory",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (out / "transcripts_spool" / "x.bin").exists()
+    got = pd.read_parquet(out / "segger_segmentation.parquet")
+    want = pd.read_parquet(segmented / "segger_segmentation.parquet")
+    got = got.sort_values("row_index").reset_index(drop=True)
+    want = want.sort_values("row_index").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (
+        got["segger_cell_id"].fillna("")
+        == want["segger_cell_id"].fillna("")
+    ).mean() > 0.999
