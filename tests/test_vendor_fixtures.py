@@ -125,3 +125,64 @@ def test_v1_boundaries_numeric_ids():
     bd, polys = p.boundaries
     assert ("7", "cell") in polys and ("12", "nucleus") in polys
     assert polys[("7", "cell")].shape[0] == 4
+
+
+# ----------------------------------------------------------------------
+# CosMX (AtoMx export layout, hand-written 16-bit TIFF label masks)
+# ----------------------------------------------------------------------
+CX = os.path.join(VENDOR, "cosmx")
+
+
+def test_cosmx_inferred():
+    assert _infer_platform_str(CX) == "nanostring_cosmx"
+
+
+def test_cosmx_transcripts():
+    p = get_preprocessor(CX, "nanostring_cosmx")
+    tx = p.transcripts
+    # 10 raw rows: 3 controls filtered -> 7 kept
+    assert len(tx) == 7
+    # composite ids with float-drift coercion ("1.0" -> c_1_1,
+    # "2.0" -> c_2_2); extracellular rows null
+    import pandas as pd
+
+    vals = tx["cell_id"].tolist()
+    assert vals[0] == "c_1_1" and vals[1] == "c_1_1"
+    assert vals[2] == "c_1_2"
+    assert pd.isna(vals[3]) and pd.isna(vals[4])
+    assert vals[5] == "c_2_1" and vals[6] == "c_2_2"
+    # compartment remap: Nuclear->2, Cytoplasm/Membrane->1, None/"0"->0
+    np.testing.assert_array_equal(
+        tx["cell_compartment"].to_numpy(), [2, 1, 1, 0, 0, 2, 1]
+    )
+    # vendor global-pixel convention: mm offsets / mpp; fov 2's x
+    # offset is exactly 1000 px
+    assert tx["x"].iloc[5] == pytest.approx(12.0 + 1000.0)
+    assert tx["y"].iloc[5] == pytest.approx(1000.0 - 14.0)
+
+
+def test_cosmx_boundaries_from_handwritten_tiffs():
+    p = get_preprocessor(CX, "nanostring_cosmx")
+    bd, polys = p.boundaries
+    # 2 FOVs x 2 cells x (cell + nucleus rings)
+    cell_keys = [k for k in polys if k[1] == "cell"]
+    nuc_keys = [k for k in polys if k[1] == "nucleus"]
+    assert sorted(k[0] for k in cell_keys) == [
+        "c_1_1", "c_1_2", "c_2_1", "c_2_2"
+    ]
+    assert sorted(k[0] for k in nuc_keys) == [
+        "c_1_1", "c_1_2", "c_2_1", "c_2_2"
+    ]
+    # the cell polygon encloses its nuclear transcript in GLOBAL px
+    poly = polys[("c_1_1", "cell")]
+    from segger_tpu.geometry.query import points_in_polygon
+
+    assert points_in_polygon(
+        np.array([[10.0, 1000.0 - 12.0]]), poly
+    ).all()
+    # nucleus ring strictly inside the cell ring (areas ordered)
+    from segger_tpu.data.neighbors_host import _polygon_area
+
+    assert _polygon_area(polys[("c_1_1", "nucleus")]) < _polygon_area(
+        polys[("c_1_1", "cell")]
+    )
