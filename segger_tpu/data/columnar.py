@@ -223,8 +223,7 @@ def anndata_from_columnar(
 
     G = len(cols.gene_names)
     C = len(cols.cell_ids)
-    counts = np.zeros(0, np.int64)  # flat (C*G,) built lazily per chunk
-    dense_counts = sp.coo_matrix((C, G), dtype=np.float32).tocsr()
+    empty = sp.coo_matrix((C, G), dtype=np.float32).tocsr()
     sx = np.zeros(C, np.float64)
     sy = np.zeros(C, np.float64)
     ntx = np.zeros(C, np.int64)
@@ -250,7 +249,7 @@ def anndata_from_columnar(
         # keep the block list shallow: merge periodically
         if len(blocks) >= 8:
             blocks = [sum(blocks[1:], blocks[0])]
-    X = sum(blocks[1:], blocks[0]) if blocks else dense_counts
+    X = sum(blocks[1:], blocks[0]) if blocks else empty
 
     present_c = ntx > 0
     # sorted-by-name order (anndata_from_transcripts: np.unique)
