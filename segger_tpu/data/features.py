@@ -219,9 +219,26 @@ def setup_features_from_anndata(
                 ad = ad.subset(var_idx=keep)
                 ad = _normalise(ad, cells_min_counts)
             elif gene_missing_strategy == "fill":
-                raise NotImplementedError(
-                    "gene_missing_strategy='fill' is not implemented yet."
+                # beyond-reference: the reference leaves this branch
+                # NotImplementedError (anndata.py:228).  Fill = append
+                # zero-count columns for the missing genes to the
+                # REFERENCE matrix, so the data keeps every gene and
+                # the missing ones get zero correlation rows (their
+                # PCA embedding is driven by the other genes' loadings
+                # at a zero correlation profile).
+                import warnings
+
+                warnings.warn(msg + " Filling with zero columns.")
+                n_miss = len(missing)
+                zeros = sp.csr_matrix(
+                    (ref.X.shape[0], n_miss), dtype=ref.X.dtype
                 )
+                X_ext = sp.hstack([ref.X, zeros]).tocsr()
+                var_ext = pd.concat(
+                    [ref.var,
+                     pd.DataFrame(index=pd.Index(missing))],
+                )
+                ref = AnnDataLite(X_ext, obs=ref.obs, var=var_ext)
             else:
                 raise ValueError(
                     f"Unknown gene_missing_strategy: {gene_missing_strategy}"

@@ -137,3 +137,33 @@ def test_bf16_training(synth):
     h = tr.fit(make_fit_tiles(p.graph, p.tree, margin=5.0),
                max_epochs=1)
     assert np.isfinite(h[0]["train:loss"])
+
+
+def test_gene_corr_reference_fill_strategy(synth, tmp_path):
+    """'fill' keeps every data gene: missing genes get zero-count
+    columns appended to the reference (beyond-reference: the reference
+    leaves this branch NotImplementedError, anndata.py:228)."""
+    rng = np.random.default_rng(0)
+    genes = [f"GENE_{g:03d}" for g in range(18)]  # 18 of the 20
+    ref = AnnDataLite(
+        sp.csr_matrix(rng.poisson(3, (50, 18)).astype(np.float64)),
+        obs=pd.DataFrame(index=[f"rc{i}" for i in range(50)]),
+        var=pd.DataFrame(index=genes),
+    )
+    ref_path = tmp_path / "ref_fill.h5ad"
+    ref.write_h5ad(ref_path)
+
+    cfg = _base_cfg(
+        gene_corr_reference_path=ref_path,
+        gene_missing_strategy="fill",
+    )
+    p = ISTPipeline(synth.transcripts, synth.boundaries, synth.polygons,
+                    cfg)
+    with pytest.warns(UserWarning, match="Filling"):
+        p.load()
+    # NO genes were dropped for missing from the reference (only the
+    # count filter applies) and embeddings exist for all of them
+    kept = set(p.adata.var.index)
+    assert any(g not in genes for g in kept)  # a filled gene survived
+    assert p.graph.gene_embedding.shape[0] == p.adata.n_vars
+    assert np.isfinite(p.graph.gene_embedding).all()
