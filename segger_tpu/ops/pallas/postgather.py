@@ -163,8 +163,12 @@ def _fwd_kernel(g_ref, xr_ref, mask_ref, keep_ref, am_ref, e_ref,
     ch = g.shape[-1] // e.shape[0]
     mask3 = mask_ref[:][..., None] > 0
     _, alpha = _alpha3(g, xr_ref[:], mask3, am_ref[:], slope)
-    alpha_ref[:] = _alpha_compact(alpha, e, ch)
-    w = alpha * _keep3(keep_ref[:], e)
+    alpha_c = _alpha_compact(alpha, e, ch)
+    alpha_ref[:] = alpha_c
+    # fold keep into the COMPACT alpha (tiny (B, K, H) multiply) and
+    # lane-expand once — one less full (B, K, HC) pass than
+    # expanding keep separately
+    w = _keep3(alpha_c * keep_ref[:].astype(_F32), e)
     out = (w * g.astype(_F32)).sum(axis=1)
     out_ref[:] = out.astype(out_ref.dtype)
 
@@ -231,9 +235,11 @@ def _fwd_kernel_prng(g_ref, xr_ref, mask_ref, seed_ref, am_ref, e_ref,
     e = e_ref[:]
     mask3 = mask_ref[:][..., None] > 0
     _, alpha = _alpha3(g, xr_ref[:], mask3, am_ref[:], slope)
-    alpha_ref[:] = _alpha_compact(alpha, e, hc // heads)
+    alpha_c = _alpha_compact(alpha, e, hc // heads)
+    alpha_ref[:] = alpha_c
     keep = _prng_keep(seed_ref, b, k, heads, thresh, inv_keep)
-    w = alpha * _keep3(keep, e)
+    # compact alpha*keep, then ONE lane expansion (see _fwd_kernel)
+    w = _keep3(alpha_c * keep, e)
     out = (w * g.astype(_F32)).sum(axis=1)
     out_ref[:] = out.astype(out_ref.dtype)
 
