@@ -226,3 +226,26 @@ def test_fit_zero_epochs_runs_nothing(small_pipeline):
                     n_heads=1),
     )
     assert tr.fit(tiles, max_epochs=0) == []
+
+
+def test_fit_on_epoch_end_callback(small_pipeline):
+    """The per-epoch callback fires once per epoch with the live
+    trainer (used by examples/quality_sweep.py to predict at
+    intermediate epochs of one uninterrupted run)."""
+    tiles = make_fit_tiles(small_pipeline.graph, small_pipeline.tree,
+                           margin=8.0)
+    tr = SeggerTrainer(
+        small_pipeline.graph,
+        TrainConfig(hidden_channels=8, out_channels=8, n_mid_layers=0,
+                    n_heads=1, max_epochs=3, scan_steps=1),
+    )
+    seen = []
+
+    def cb(epoch, trainer):
+        assert trainer is tr
+        assert trainer.params is not None
+        assert len(trainer.history) == epoch + 1
+        seen.append(epoch)
+
+    tr.fit(tiles, on_epoch_end=cb)
+    assert seen == [0, 1, 2]
