@@ -9,7 +9,14 @@ feature accumulation streams in chunks.  The DataFrame path measured
 ~300 GB extrapolated at 100M; this path holds the transcript plane in
 O(chunk) + O(cells).
 
-    python examples/outofcore_scale.py --n-cells 2000000   # ~52M tx
+Phases (restartable — the host build is CPU-only and the graph is
+cached to ``graph.npz`` via ``data.assemble.save_host_graph``):
+
+    python examples/outofcore_scale.py --n-cells 2000000 \
+        --phase prepare --out DIR     # CPU: generate + features + graph
+    python examples/outofcore_scale.py --n-cells 2000000 \
+        --phase run --out DIR         # accelerator: train/predict/write
+    python examples/outofcore_scale.py --n-cells 2000000   # both
 """
 import sys
 
@@ -22,46 +29,31 @@ import json
 import tempfile
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--n-cells", type=int, default=100_000)
-    ap.add_argument("--epochs", type=int, default=2)
-    ap.add_argument("--tile-nodes", type=int, default=50_000)
-    ap.add_argument("--out", default=None)
-    ap.add_argument("--spool", default=None)
-    ap.add_argument("--eval-sample", type=int, default=2_000_000,
-                    help="transcripts sampled for the quality report")
-    ap.add_argument("--dtype", default="bfloat16",
-                    choices=["float32", "bfloat16"])
-    args = ap.parse_args()
+def _pipeline_cfg(args):
+    from segger_tpu.pipeline import PipelineConfig
 
-    if args.cpu:
-        os.environ.setdefault(
-            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
-        )
-    import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-
-    import numpy as np
-    import pandas as pd
-
-    from segger_tpu.data.synthetic import make_synthetic_columnar
-    from segger_tpu.pipeline import ISTPipeline, PipelineConfig
-    from segger_tpu.train.trainer import SeggerTrainer, TrainConfig
-    from segger_tpu.data.partition import (
-        make_fit_tiles, make_predict_tiles,
+    return PipelineConfig(
+        cells_embedding_size=64,
+        genes_min_counts=50,
+        cells_min_counts=5,
+        tiling_nodes_per_tile=args.tile_nodes,
+        tiling_margin_training=10.0,
+        tiling_margin_prediction=15.0,
+        prediction_graph_mode="cell",
+        prediction_graph_buffer_ratio=0.2,
     )
-    from segger_tpu.data.writer import SegmentationWriter
-    from segger_tpu.metrics import segmentation_report
-    from segger_tpu.utils import peak_rss_gb
-    from segger_tpu.utils_profiling import StageTimer
 
-    timer = StageTimer()
-    out_dir = args.out or tempfile.mkdtemp(prefix="segger_ooc_")
-    spool = args.spool or os.path.join(out_dir, "spool")
+
+def phase_prepare(args, out_dir, spool, timer):
+    """CPU-only host build: generate + features + graph, cached to
+    graph.npz.  No jax backend is touched, so no accelerator is held
+    idle through the (long) host stage."""
+    import numpy as np
+
+    from segger_tpu.data.assemble import save_host_graph
+    from segger_tpu.data.synthetic import make_synthetic_columnar
+    from segger_tpu.pipeline import ISTPipeline
+    from segger_tpu.utils import peak_rss_gb
 
     with timer.stage("generate"):
         synth = make_synthetic_columnar(
@@ -74,17 +66,8 @@ def main():
     print(f"{n_tx} transcripts, {args.n_cells} cells "
           f"(spool: {spool}), rss {peak_rss_gb():.1f} GB", flush=True)
 
-    cfg = PipelineConfig(
-        cells_embedding_size=64,
-        genes_min_counts=50,
-        cells_min_counts=5,
-        tiling_nodes_per_tile=args.tile_nodes,
-        tiling_margin_training=10.0,
-        tiling_margin_prediction=15.0,
-        prediction_graph_mode="cell",
-        prediction_graph_buffer_ratio=0.2,
-    )
-    pipeline = ISTPipeline(cols, synth.boundaries, synth.polygons, cfg)
+    pipeline = ISTPipeline(cols, synth.boundaries, synth.polygons,
+                           _pipeline_cfg(args))
     with timer.stage("features+graph", items=n_tx):
         pipeline.load()
     g = pipeline.graph
@@ -94,6 +77,54 @@ def main():
         f"{pipeline.tree.n_leaves} tiles, rss {peak_rss_gb():.1f} GB",
         flush=True,
     )
+    with timer.stage("save_graph"):
+        save_host_graph(g, os.path.join(out_dir, "graph.npz"))
+        np.save(
+            os.path.join(out_dir, "gene_names.npy"),
+            pipeline.adata.var.index.to_numpy().astype(str),
+        )
+    with open(os.path.join(out_dir, "prepare.json"), "w") as f:
+        json.dump(
+            {
+                "n_transcripts": int(n_tx),
+                "n_cells": int(args.n_cells),
+                "stages": timer.summary(),
+                "peak_rss_gb": round(peak_rss_gb(), 2),
+            },
+            f, indent=2,
+        )
+    print("prepare done, peak rss "
+          f"{peak_rss_gb():.1f} GB", flush=True)
+
+
+def phase_run(args, out_dir, spool, timer):
+    """Accelerator phase: reload the cached graph, train, predict,
+    write, and score a sample against the spooled ground truth."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import pandas as pd
+
+    from segger_tpu.data.assemble import load_host_graph
+    from segger_tpu.data.partition import (
+        build_tiling, make_fit_tiles, make_predict_tiles,
+    )
+    from segger_tpu.data.writer import SegmentationWriter
+    from segger_tpu.metrics import segmentation_report
+    from segger_tpu.train.trainer import SeggerTrainer, TrainConfig
+    from segger_tpu.utils import peak_rss_gb
+
+    with timer.stage("load_graph"):
+        g = load_host_graph(os.path.join(out_dir, "graph.npz"))
+        gene_names = np.load(os.path.join(out_dir, "gene_names.npy"),
+                             allow_pickle=False)
+        tree = build_tiling(g, nodes_per_tile=args.tile_nodes)
+    n_tx = g.n_tx
+    print(f"graph loaded: {n_tx} tx, {g.n_bd} bd, "
+          f"rss {peak_rss_gb():.1f} GB", flush=True)
 
     tc = TrainConfig(
         hidden_channels=64, out_channels=64, n_mid_layers=2, n_heads=2,
@@ -101,23 +132,21 @@ def main():
         compute_dtype=args.dtype,
     )
     trainer = SeggerTrainer(g, tc)
-    fit_tiles = make_fit_tiles(g, pipeline.tree, margin=10.0)
+    fit_tiles = make_fit_tiles(g, tree, margin=10.0)
     n_edges = sum(t.n_edges for t in fit_tiles)
     with timer.stage("train", items=n_edges * 4 * args.epochs):
         trainer.fit(fit_tiles)
     print(f"trained, rss {peak_rss_gb():.1f} GB", flush=True)
 
-    predict_tiles = make_predict_tiles(g, pipeline.tree, margin=15.0)
+    predict_tiles = make_predict_tiles(g, tree, margin=15.0)
     with timer.stage("predict", items=n_tx):
         preds = trainer.predict(predict_tiles)
     print(f"predicted, rss {peak_rss_gb():.1f} GB", flush=True)
 
     with timer.stage("write"):
         writer = SegmentationWriter(out_dir, save_anndata=False)
-        seg = writer.write(
-            preds, cell_ids=g.bd_cell_id,
-            gene_names=pipeline.adata.var.index.to_numpy().astype(str),
-        )
+        seg = writer.write(preds, cell_ids=g.bd_cell_id,
+                           gene_names=gene_names)
 
     # quality on a sample (string-series metrics at full 50M would
     # rebuild the object columns this path exists to avoid)
@@ -125,28 +154,38 @@ def main():
     n_eval = min(args.eval_sample, len(seg))
     rows = rng.choice(len(seg), n_eval, replace=False)
     seg_s = seg.iloc[rows]
-    truth_code = np.asarray(synth.truth_code)
+    truth_code = np.memmap(os.path.join(spool, "truth.bin"),
+                           dtype=np.int32, mode="r")
+    cell_ids = np.load(os.path.join(spool, "cell_ids.npy"),
+                       allow_pickle=False)
     ri = seg_s["row_index"].to_numpy()
-    tc_s = truth_code[ri]
+    tcs = truth_code[ri]
     truth = pd.Series(
-        np.where(tc_s >= 0,
-                 cols.cell_ids[np.maximum(tc_s, 0)], ""),
-        index=ri,
+        np.where(tcs >= 0, cell_ids[np.maximum(tcs, 0)], ""), index=ri
     )
     truth = truth[truth != ""]
     report = segmentation_report(seg_s, truth)
 
+    prep = {}
+    prep_path = os.path.join(out_dir, "prepare.json")
+    if os.path.exists(prep_path):
+        with open(prep_path) as f:
+            prep = json.load(f)
+
     log = {
         "n_transcripts": int(n_tx),
         "n_cells": int(args.n_cells),
-        "path": "columnar out-of-core (disk-spooled transcript plane)",
-        "stages": timer.summary(),
+        "path": "columnar out-of-core (disk-spooled transcript plane; "
+                "phased: CPU prepare -> accelerator run)",
+        "prepare_stages": prep.get("stages", {}),
+        "prepare_peak_rss_gb": prep.get("peak_rss_gb"),
+        "run_stages": timer.summary(),
         "quality_on_sample": {
             k: round(v, 4) if isinstance(v, float) else v
             for k, v in report.items()
         },
         "eval_sample": int(n_eval),
-        "peak_rss_gb": round(peak_rss_gb(), 2),
+        "run_peak_rss_gb": round(peak_rss_gb(), 2),
         "device": str(jax.devices()[0]),
         "dtype": args.dtype,
         "epochs": args.epochs,
@@ -154,10 +193,48 @@ def main():
     }
     print("stages:", json.dumps(timer.summary(), indent=2))
     print("quality:", json.dumps(log["quality_on_sample"], indent=2))
-    print(f"peak rss: {log['peak_rss_gb']} GB")
+    print(f"run peak rss: {log['run_peak_rss_gb']} GB "
+          f"(prepare: {log['prepare_peak_rss_gb']} GB)")
     with open(os.path.join(out_dir, "run.json"), "w") as f:
         json.dump(log, f, indent=2)
     print("log:", os.path.join(out_dir, "run.json"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--n-cells", type=int, default=100_000)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--tile-nodes", type=int, default=50_000)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--spool", default=None)
+    ap.add_argument("--phase", default="all",
+                    choices=["all", "prepare", "run"])
+    ap.add_argument("--eval-sample", type=int, default=2_000_000,
+                    help="transcripts sampled for the quality report")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    if args.cpu or args.phase == "prepare":
+        # the prepare phase never needs a device; pinning CPU keeps the
+        # accelerator free (and untouched) through the long host build
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    from segger_tpu.utils_profiling import StageTimer
+
+    out_dir = args.out or tempfile.mkdtemp(prefix="segger_ooc_")
+    os.makedirs(out_dir, exist_ok=True)
+    spool = args.spool or os.path.join(out_dir, "spool")
+
+    timer = StageTimer()
+    if args.phase in ("all", "prepare"):
+        phase_prepare(args, out_dir, spool, timer)
+    if args.phase in ("all", "run"):
+        phase_run(args, out_dir, spool, timer)
 
 
 if __name__ == "__main__":

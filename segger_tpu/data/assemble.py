@@ -341,3 +341,25 @@ def build_host_graph_columnar(
         tx_similarity=tx_similarity,
         bd_similarity=bd_similarity,
     )
+
+
+def save_host_graph(graph: HostGraph, path) -> None:
+    """Persist a whole-slide HostGraph as one .npz (graph caching: the
+    host build is minutes-to-hours at whole-slide scale and fully
+    deterministic, so phased runs — prepare on CPU, train on the
+    accelerator — reload instead of rebuilding)."""
+    from dataclasses import fields as _fields
+
+    np.savez_compressed(
+        path,
+        **{f.name: np.asarray(getattr(graph, f.name))
+           for f in _fields(HostGraph)},
+    )
+
+
+def load_host_graph(path) -> HostGraph:
+    """Inverse of :func:`save_host_graph`."""
+    from dataclasses import fields as _fields
+
+    with np.load(path, allow_pickle=False) as z:
+        return HostGraph(**{f.name: z[f.name] for f in _fields(HostGraph)})

@@ -55,10 +55,14 @@ def kdtree_neighbors(
                 points, max_k=max_k, max_dist=max_dist, query=query
             )
             valid = idx >= 0
+            # int32 + no full (nq, k) row matrix: at the reference's
+            # whole-slide design point (100M+ points) int64 rows alone
+            # are multi-GB transients
+            counts = valid.sum(axis=1)
             rows = np.repeat(
-                np.arange(idx.shape[0], dtype=np.int64), idx.shape[1]
-            ).reshape(idx.shape)
-            return rows[valid], idx[valid].astype(np.int64)
+                np.arange(idx.shape[0], dtype=np.int32), counts
+            )
+            return rows, idx[valid].astype(np.int32)
         if backend == "native":
             raise ImportError("native spatial core not available")
 
@@ -82,8 +86,8 @@ def kdtree_neighbors(
         cols_out.append(idx[valid])
     del tree
     return (
-        np.concatenate(rows_out).astype(np.int64),
-        np.concatenate(cols_out).astype(np.int64),
+        np.concatenate(rows_out).astype(np.int32),
+        np.concatenate(cols_out).astype(np.int32),
     )
 
 
@@ -101,8 +105,8 @@ def segmentation_graph(
     """tx->bd supervision edges: (row_id, cell_encoding) for masked
     transcripts with a known cell (reference: neighbors.py:183-197)."""
     mask = np.asarray(segmentation_mask) & (tx_cell_encoding >= 0)
-    src = np.where(mask)[0].astype(np.int64)
-    dst = tx_cell_encoding[mask].astype(np.int64)
+    src = np.where(mask)[0].astype(np.int32)
+    dst = tx_cell_encoding[mask].astype(np.int32)
     return src, dst
 
 
