@@ -361,9 +361,9 @@ def tile_bucket(
         e_sg=_round_up(sg_s.size, 256),
         # transpose widths = max out-degree per source node
         k_tt_t=_round_up(deg(tt_s, n_tx_local), 4),
-        # exact width: sg out-degree is almost always <= 1 (a transcript
-        # supervises at most one cell) and the tb backward gather volume
-        # scales with this — rounding to 4 would quadruple it
+        # exact width: backward gathers are row-rate bound — fewer
+        # gathered rows beat tile alignment (ops/padded_csr
+        # .transpose_csr has the head-to-head numbers)
         k_tb_t=max(deg(sg_s, n_tx_local), 1),
         n_lo=n_lo,
         k_lo=k_lo,
