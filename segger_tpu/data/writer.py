@@ -45,25 +45,34 @@ def assign_transcripts_to_cells(
     gene_names : optional (n_genes,) str for the output table.
     """
     tx_f = TrainingTranscriptFields()
+    # dedupe cross-tile duplicates by max similarity (writer.py:199-204)
+    # — NumPy-first: a pandas multi-key sort of the pre-dedupe table
+    # makes several whole-table copies (GBs of churn at 50M+
+    # transcripts, docs/runs/xenium_50m_outofcore.json); one lexsort +
+    # boolean first-per-group never materializes the duplicated frame
+    ri = np.asarray(predictions["row_index"], np.int64)
+    sim = np.asarray(predictions["similarity"], np.float64)
+    order = np.lexsort((-sim, ri))          # row asc, similarity desc
+    first = np.empty(order.size, bool)
+    if order.size:
+        first[0] = True
+        first[1:] = ri[order[1:]] != ri[order[:-1]]
+    sel = order[first]
+    enc = np.asarray(predictions["cell_encoding"], np.int64)[sel]
     df = pd.DataFrame(
         {
-            tx_f.row_index: predictions["row_index"].astype(np.int64),
-            "cell_encoding": predictions["cell_encoding"].astype(np.int64),
-            "segger_similarity": predictions["similarity"].astype(np.float64),
-            tx_f.feature: predictions["gene"].astype(np.int64),
+            tx_f.row_index: ri[sel],
+            "segger_similarity": sim[sel],
+            tx_f.feature: np.asarray(
+                predictions["gene"], np.int64
+            )[sel],
         }
     )
-    # dedupe cross-tile duplicates by max similarity (writer.py:199-204)
-    df = df.sort_values(
-        [tx_f.row_index, "segger_similarity"], ascending=[True, False]
-    ).drop_duplicates(tx_f.row_index, keep="first")
 
     # map encodings to ids; -1 (unassigned) -> null
-    enc = df["cell_encoding"].to_numpy()
     assigned = enc >= 0
     cell_id_col = np.full(len(df), None, dtype=object)
     cell_id_col[assigned] = np.asarray(cell_ids)[enc[assigned]]
-    df = df.drop(columns=["cell_encoding"])
     df["segger_cell_id"] = cell_id_col
 
     # per-gene thresholds (writer.py:206-253)

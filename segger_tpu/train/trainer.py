@@ -624,12 +624,21 @@ class SeggerTrainer:
         return jax.tree.map(jnp.asarray, stacked)
 
     # ------------------------------------------------------------------
+    def release_tile_cache(self) -> None:
+        """Drop the epoch-spanning tile-extraction cache.  Its only
+        value is across fit epochs; at whole-slide scale it pins up to
+        ``tile_cache_gb`` (24 GB default) of host RAM through the
+        predict/write stages for zero reuse."""
+        self._tile_cache = {}
+        self._tile_cache_bytes = 0
+
     def predict(
         self, predict_tiles: Sequence[TileSpec]
     ) -> Dict[str, np.ndarray]:
         """Run prediction over halo tiles; returns flat arrays of
         (row_index, cell_encoding, similarity, gene) for interior
         transcripts (reference: lightning_model.py:263-298)."""
+        self.release_tile_cache()
         if self._predict_step is None:
             self._predict_step = self._build_predict_step()
         batches = self.iter_batches(predict_tiles, shuffle=False,

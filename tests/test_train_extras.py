@@ -142,10 +142,11 @@ def test_stage_timer():
     assert s["work"]["rate"] > 0
 
 
-def test_predict_path_does_not_populate_tile_cache(small_pipeline):
-    """Predict tiles are visited exactly once; their extractions must
-    not be retained in the epoch-spanning cache (review r2: single-use
-    entries pinned up to tile_cache_gb of host RAM)."""
+def test_predict_path_releases_tile_cache(small_pipeline):
+    """Predict tiles are visited exactly once, so predict() drops the
+    epoch-spanning fit cache up front (it pins up to tile_cache_gb of
+    host RAM through predict/write for zero reuse — measured 24 GB at
+    the 50M-transcript scale) and must not repopulate it."""
     from segger_tpu.data.partition import make_predict_tiles
 
     tr = SeggerTrainer(
@@ -156,14 +157,12 @@ def test_predict_path_does_not_populate_tile_cache(small_pipeline):
     fit_tiles = make_fit_tiles(small_pipeline.graph,
                                small_pipeline.tree, margin=8.0)
     tr.fit(fit_tiles, max_epochs=1)
-    bytes_after_fit = tr._tile_cache_bytes
-    n_after_fit = len(tr._tile_cache)
     pred_tiles = make_predict_tiles(small_pipeline.graph,
                                     small_pipeline.tree, margin=8.0)
     out = tr.predict(pred_tiles)
     assert out["row_index"].size > 0
-    assert tr._tile_cache_bytes == bytes_after_fit
-    assert len(tr._tile_cache) == n_after_fit
+    assert tr._tile_cache_bytes == 0
+    assert len(tr._tile_cache) == 0
 
 
 def test_resume_matches_uninterrupted_run(small_pipeline, tmp_path):
