@@ -140,13 +140,20 @@ def phase_run(args, out_dir, spool, timer):
 
     predict_tiles = make_predict_tiles(g, tree, margin=15.0)
     with timer.stage("predict", items=n_tx):
-        preds = trainer.predict(predict_tiles)
+        # streaming max-merge into dense row-addressed arrays: O(n_rows)
+        # host memory instead of per-tile prediction lists + a
+        # duplicated pre-dedupe table (the r3 run's 82.8 GB lever)
+        best_sim, best_enc = trainer.predict_streaming(predict_tiles)
     print(f"predicted, rss {peak_rss_gb():.1f} GB", flush=True)
 
     with timer.stage("write"):
         writer = SegmentationWriter(out_dir, save_anndata=False)
-        seg = writer.write(preds, cell_ids=g.bd_cell_id,
-                           gene_names=gene_names)
+        gene_by_row = np.zeros(best_sim.size, np.int32)
+        gene_by_row[g.tx_index] = g.tx_gene
+        seg = writer.write_dense(
+            best_sim, best_enc, gene_by_row,
+            cell_ids=g.bd_cell_id, gene_names=gene_names,
+        )
 
     # quality on a sample (string-series metrics at full 50M would
     # rebuild the object columns this path exists to avoid)

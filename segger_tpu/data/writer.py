@@ -29,6 +29,113 @@ logger = logging.getLogger(__name__)
 _SAMPLE_CAP = 10_000_000  # reference: writer.py:215
 
 
+def compute_gene_thresholds(
+    sim: np.ndarray,
+    gene: np.ndarray,
+    seed: int = 0,
+) -> "tuple[dict, list, float]":
+    """Per-gene similarity threshold = min(Yen, Li) with median backfill
+    (reference: writer.py:206-253).
+
+    Operates on flat arrays of ASSIGNED transcripts (one pass of
+    sort-based grouping — no pandas groupby object churn); shared by the
+    DataFrame writer and the dense/streaming writer.
+
+    Returns (thresholds, failed_genes, median_threshold).
+    """
+    rng = np.random.default_rng(seed)
+    thresholds, failed = {}, []
+    if sim.size:
+        order = np.argsort(gene, kind="stable")
+        sg = gene[order]
+        bounds = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = int(sg[s])
+            arr = sim[order[s:e]]
+            if arr.size > _SAMPLE_CAP:
+                arr = rng.choice(arr, _SAMPLE_CAP, replace=False)
+            try:
+                tye = threshold_yen(arr)
+                tli = threshold_li(arr, max_iter=250)
+                thresholds[g] = min(tye, tli)
+            except StopIteration:
+                failed.append(g)
+    global_thr = (
+        float(np.quantile(list(thresholds.values()), 0.5))
+        if thresholds
+        else 0.0
+    )
+    for g in failed:
+        thresholds[g] = global_thr
+    return thresholds, failed, global_thr
+
+
+def assign_dense(
+    best_sim: np.ndarray,
+    best_enc: np.ndarray,
+    gene_by_row: np.ndarray,
+    cell_ids: np.ndarray,
+    gene_names: Optional[np.ndarray] = None,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Dense-array variant of :func:`assign_transcripts_to_cells` for the
+    streaming predict path (``SeggerTrainer.predict_streaming``).
+
+    ``best_sim``/``best_enc`` are row_index-ADDRESSED arrays (the
+    streamed max-merge already performed the reference's cross-tile
+    dedupe, writer.py:199-204): ``best_enc[r] == -2`` marks rows never
+    predicted; ``-1`` marks predicted-but-unassigned.  ``gene_by_row``
+    maps row_index -> gene code.  The returned frame uses CATEGORICAL
+    cell ids (dictionary-encoded in parquet) instead of object strings —
+    at 10^8 transcripts the object column alone costs ~60 B/row.
+    """
+    tx_f = TrainingTranscriptFields()
+    rows = np.flatnonzero(best_enc != -2)
+    sim = best_sim[rows]
+    enc = best_enc[rows]
+    gene = gene_by_row[rows].astype(np.int32)
+
+    assigned = enc >= 0
+    thresholds, failed, global_thr = compute_gene_thresholds(
+        sim[assigned].astype(np.float64), gene[assigned], seed
+    )
+
+    # sorted-key lookup (gene codes may include -1 = unknown gene, so a
+    # dense table indexed by code would wrap)
+    failed_set = set(failed)
+    keys = np.array(sorted(thresholds), np.int64)
+    vals = np.array([thresholds[k] for k in keys], np.float64)
+    conv = np.array([k not in failed_set for k in keys], bool)
+    if keys.size:
+        pos = np.clip(np.searchsorted(keys, gene), 0, keys.size - 1)
+        matched = keys[pos] == gene
+        thr_col = np.where(matched, vals[pos], global_thr)
+        conv_col = matched & conv[pos]
+    else:
+        thr_col = np.full(gene.size, global_thr)
+        conv_col = np.zeros(gene.size, bool)
+
+    df = pd.DataFrame(
+        {
+            tx_f.row_index: rows.astype(np.int64),
+            "segger_similarity": sim.astype(np.float64),
+            tx_f.feature: gene.astype(np.int64),
+            "segger_cell_id": pd.Categorical.from_codes(
+                np.where(assigned, enc, -1).astype(np.int64),
+                categories=pd.Index(np.asarray(cell_ids)),
+            ),
+            "similarity_threshold": thr_col,
+            "converged": conv_col,
+        }
+    )
+    if gene_names is not None:
+        df["segger_gene"] = pd.Categorical.from_codes(
+            gene.astype(np.int64),
+            categories=pd.Index(np.asarray(gene_names)),
+        )
+    return df
+
+
 def assign_transcripts_to_cells(
     predictions: Dict[str, np.ndarray],
     cell_ids: np.ndarray,
@@ -75,28 +182,13 @@ def assign_transcripts_to_cells(
     cell_id_col[assigned] = np.asarray(cell_ids)[enc[assigned]]
     df["segger_cell_id"] = cell_id_col
 
-    # per-gene thresholds (writer.py:206-253)
-    rng = np.random.default_rng(seed)
-    thresholds, failed = {}, []
+    # per-gene thresholds (writer.py:206-253); median backfill inside
     sel = df[df["segger_cell_id"].notna()]
-    for gene, group in sel.groupby(tx_f.feature):
-        arr = group["segger_similarity"].to_numpy()
-        if arr.size > _SAMPLE_CAP:
-            arr = rng.choice(arr, _SAMPLE_CAP, replace=False)
-        try:
-            tye = threshold_yen(arr)
-            tli = threshold_li(arr, max_iter=250)
-            thresholds[gene] = min(tye, tli)
-        except StopIteration:
-            failed.append(gene)
-    # median backfill (writer.py:249-253)
-    global_thr = (
-        float(np.quantile(list(thresholds.values()), 0.5))
-        if thresholds
-        else 0.0
+    thresholds, failed, global_thr = compute_gene_thresholds(
+        sel["segger_similarity"].to_numpy(np.float64),
+        sel[tx_f.feature].to_numpy(np.int64),
+        seed,
     )
-    for gene in failed:
-        thresholds[gene] = global_thr
 
     thr = df[tx_f.feature].map(thresholds)
     df["similarity_threshold"] = thr.fillna(global_thr)
@@ -153,6 +245,27 @@ class SegmentationWriter:
         )
         if self.save_anndata and transcripts is not None:
             self.write_anndata(seg, transcripts)
+        return seg
+
+    def write_dense(
+        self,
+        best_sim: np.ndarray,
+        best_enc: np.ndarray,
+        gene_by_row: np.ndarray,
+        cell_ids: np.ndarray,
+        gene_names: Optional[np.ndarray] = None,
+    ) -> pd.DataFrame:
+        """Streaming-path writer: dense row_index-addressed predictions
+        (from ``SeggerTrainer.predict_streaming``) -> segmentation
+        parquet.  No object columns are ever built — cell ids stay
+        dictionary-encoded from allocation to parquet."""
+        seg = assign_dense(
+            best_sim, best_enc, gene_by_row, cell_ids, gene_names
+        )
+        out = seg.drop(columns=[TrainingTranscriptFields().feature])
+        out.to_parquet(
+            self.output_directory / "segger_segmentation.parquet"
+        )
         return seg
 
     def write_anndata(self, seg: pd.DataFrame, transcripts: pd.DataFrame):

@@ -488,8 +488,13 @@ class SeggerTrainer:
             # (instead of replaying epoch 0's streams)
             key = jax.random.fold_in(base_key, epoch)
             erng = np.random.default_rng([cfg.seed, epoch])
+            # the extraction cache only pays across epochs: on the LAST
+            # epoch nothing will re-read an inserted tile, so inserting
+            # just pins host RAM through predict/write (the 24 GB
+            # whole-slide RSS lever, docs/runs/xenium_50m_outofcore.json)
             batches = self.iter_batches(train_tiles, shuffle=True,
-                                        rng=erng)
+                                        rng=erng,
+                                        cache=epoch < max_epochs - 1)
             ep_loss = []
             if cfg.scan_steps > 1:
                 key, ep_loss = self._run_scanned_epoch(
@@ -657,6 +662,67 @@ class SeggerTrainer:
             out["gene"].append(gene.ravel()[m])
         return {k: np.concatenate(v) if v else np.zeros(0)
                 for k, v in out.items()}
+
+    def predict_streaming(
+        self,
+        predict_tiles: Sequence[TileSpec],
+        n_rows: Optional[int] = None,
+        best_sim: Optional[np.ndarray] = None,
+        best_enc: Optional[np.ndarray] = None,
+    ) -> "Tuple[np.ndarray, np.ndarray]":
+        """Prediction with O(n_rows) host memory: per-batch results are
+        max-merged into dense row_index-addressed arrays instead of
+        accumulating per-tile lists (the whole-slide RSS lever — the
+        list-of-arrays path holds every halo tile's outputs plus a
+        duplicated pre-dedupe table through the writer,
+        docs/runs/xenium_50m_outofcore.json).
+
+        The max-merge IS the reference's cross-tile dedupe
+        (reference: writer.py:199-204) performed online; with
+        exactly-once predict masks each row is written once and the
+        merge degenerates to assignment.
+
+        Returns ``(best_sim f32, best_enc int32)`` addressed by
+        row_index: ``enc == -2`` never predicted, ``-1`` predicted but
+        unassigned.  Pass preallocated (possibly memmapped) arrays to
+        cap RSS further.
+        """
+        self.release_tile_cache()
+        if self._predict_step is None:
+            self._predict_step = self._build_predict_step()
+        if best_sim is None:
+            if n_rows is None:
+                n_rows = int(self.graph.tx_index.max()) + 1
+            best_sim = np.full(n_rows, -np.inf, np.float32)
+            best_enc = np.full(n_rows, -2, np.int32)
+        batches = self.iter_batches(predict_tiles, shuffle=False,
+                                    cache=False)
+        for batch in batches:
+            batch = self._device_put(batch)
+            idx, seg, sim, gene, mask = jax.tree.map(
+                np.asarray, self._predict_step(self.params, batch)
+            )
+            m = mask.ravel()
+            r = idx.ravel()[m].astype(np.int64)
+            s = sim.ravel()[m]
+            e = seg.ravel()[m]
+            # resolve intra-batch duplicates (none under exactly-once
+            # masks, but halo variants may overlap): row-major sort,
+            # best similarity first
+            if r.size:
+                order = np.lexsort((-s, r))
+                first = np.empty(order.size, bool)
+                first[0] = True
+                first[1:] = r[order[1:]] != r[order[:-1]]
+                keep = order[first]
+                rk, sk, ek = r[keep], s[keep], e[keep]
+                upd = sk > best_sim[rk]
+                # never-predicted rows always take the new value (their
+                # sim is -inf), preserving unassigned (-1) markers
+                rk, sk, ek = rk[upd], sk[upd], ek[upd]
+                best_sim[rk] = sk
+                best_enc[rk] = ek
+        return best_sim, best_enc
 
     # ------------------------------------------------------------------
     def predict_whole_slide(

@@ -90,3 +90,57 @@ def test_e2e_train_predict_write(pipeline, synth, tmp_path_factory):
     ad = read_h5ad(out / "segger_anndata.h5ad")
     assert ad.n_obs > 50
     assert "X_spatial" in ad.obsm
+
+
+def test_streaming_predict_write_parity(pipeline, tmp_path_factory):
+    """predict_streaming + write_dense produce the SAME segmentation
+    table as the list-based predict + DataFrame writer (the out-of-core
+    run path, VERDICT r3 item 3): identical rows, cell ids,
+    similarities, per-gene thresholds, and convergence flags."""
+    from segger_tpu.data.partition import make_fit_tiles, make_predict_tiles
+    from segger_tpu.data.writer import SegmentationWriter
+    from segger_tpu.train.trainer import SeggerTrainer
+
+    g, tree = pipeline.graph, pipeline.tree
+    tc = TrainConfig(
+        hidden_channels=32, out_channels=32, n_mid_layers=1, n_heads=2,
+        max_epochs=2, edges_per_batch=100_000, seed=0,
+    )
+    trainer = SeggerTrainer(g, tc)
+    trainer.fit(make_fit_tiles(g, tree, margin=10.0))
+    ptiles = make_predict_tiles(g, tree, margin=15.0)
+    preds = trainer.predict(ptiles)
+    best_sim, best_enc = trainer.predict_streaming(ptiles)
+
+    gene_names = pipeline.adata.var.index.to_numpy().astype(str)
+    w_a = SegmentationWriter(tmp_path_factory.mktemp("seg_list"),
+                             save_anndata=False)
+    seg_a = w_a.write(preds, cell_ids=g.bd_cell_id,
+                      gene_names=gene_names)
+    w_b = SegmentationWriter(tmp_path_factory.mktemp("seg_stream"),
+                             save_anndata=False)
+    gene_by_row = np.zeros(best_sim.size, np.int32)
+    gene_by_row[g.tx_index] = g.tx_gene
+    seg_b = w_b.write_dense(best_sim, best_enc, gene_by_row,
+                            cell_ids=g.bd_cell_id,
+                            gene_names=gene_names)
+
+    a = seg_a.sort_values("row_index").reset_index(drop=True)
+    b = seg_b.sort_values("row_index").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a["row_index"].to_numpy() == b["row_index"].to_numpy()).all()
+    ca = a["segger_cell_id"].astype(object).to_numpy()
+    cb = b["segger_cell_id"].astype(object).to_numpy()
+    na = pd.isna(ca)
+    assert (na == pd.isna(cb)).all()
+    assert (ca[~na] == cb[~na]).all()
+    np.testing.assert_allclose(
+        a["segger_similarity"], b["segger_similarity"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        a["similarity_threshold"], b["similarity_threshold"],
+        rtol=1e-6, atol=1e-9,
+    )
+    assert (a["converged"].to_numpy() == b["converged"].to_numpy()).all()
+    assert (a["segger_gene"].astype(object).to_numpy()
+            == b["segger_gene"].astype(object).to_numpy()).all()
