@@ -85,45 +85,50 @@ def _block_rows(k: int) -> int:
 
 
 def _head_matrices(att: jnp.ndarray, dtype) -> Tuple[jnp.ndarray, ...]:
-    """Build the lane-replication matrices for ``att`` of shape (H, C).
+    """Build the head-compaction/expansion matrices for ``att`` (H, C).
 
-    AM : (HC, HC) — s @ AM gives per-head logits replicated across the
-                    head's C lanes.
-    MS : (HC, HC) — group-sum-broadcast (same-head lane sums), used in
-                    the backward for dA.
-    E  : (H, HC)  — head -> lane-group expander.
+    ATTC : (HC, H) — s @ ATTC gives COMPACT per-head logits (the
+                     lane-packed softmax input; docs/design.md §2).
+    E    : (H, HC) — head -> lane-group expander (also its transpose is
+                     the per-head summing compactor used by the
+                     backward's dA).
     """
     heads, ch = att.shape
     hc = heads * ch
     group = jnp.arange(hc) // ch
-    same = (group[:, None] == group[None, :]).astype(dtype)  # (HC, HC)
     att_f = att.reshape(hc).astype(dtype)
-    am = att_f[:, None] * same
     e = (jnp.arange(heads)[:, None] == group[None, :]).astype(dtype)
-    return am, same, e
+    attc = att_f[:, None] * e.T
+    return attc, e
 
 
-def _alpha3(g, xr, mask3, am, slope):
-    """Masked per-head attention over the K axis, lane-replicated.
+def _alpha_c(g, xr, mask3, attc, slope):
+    """Lane-packed masked per-head attention over the K axis.
 
-    Returns (s, alpha) with s the leaky-relu pre-activation (dt) and
-    alpha the f32 softmax coefficients, both (B, K, HC)."""
+    The softmax chain runs at COMPACT (B, K, H) f32 — K on sublanes, so
+    every reduction over axis=1 is a native sublane reduction — instead
+    of lane-replicated (B, K, HC) (64x redundant VPU work at H=2,
+    HC=128; the r3 kernels' stated VPU bound, docs/design.md §2).
+
+    Returns (s, alpha_c): s the (B, K, HC) leaky-relu pre-activation
+    (feature dtype), alpha_c the compact (B, K, H) f32 coefficients.
+    """
     b, k, hc = g.shape
     p = g + xr[:, None, :]
     # sign test in f32: Mosaic rejects bf16 comparisons
     s = jnp.where(p.astype(_F32) > 0, p, slope * p)
-    logits = jnp.dot(
-        s.reshape(b * k, hc), am, preferred_element_type=_F32
-    ).reshape(b, k, hc)
-    z = jnp.where(mask3, logits, _NEG_INF)
+    lc = jnp.dot(
+        s.reshape(b * k, hc), attc, preferred_element_type=_F32
+    ).reshape(b, k, attc.shape[1])
+    z = jnp.where(mask3, lc, _NEG_INF)
     z = z - z.max(axis=1, keepdims=True)
     ez = jnp.where(mask3, jnp.exp(z), 0.0)
-    alpha = ez / jnp.maximum(ez.sum(axis=1, keepdims=True), 1e-30)
-    return s, alpha
+    alpha_c = ez / jnp.maximum(ez.sum(axis=1, keepdims=True), 1e-30)
+    return s, alpha_c
 
 
 def _keep3(keep, e):
-    """(B, K, H) keep multipliers -> (B, K, HC) lane-expanded, f32."""
+    """(B, K, H) compact multipliers -> (B, K, HC) lane-expanded, f32."""
     b, k, h = keep.shape
     hc = e.shape[1]
     return jnp.dot(
@@ -131,19 +136,16 @@ def _keep3(keep, e):
     ).reshape(b, k, hc)
 
 
-def _alpha_compact(alpha, e, ch):
-    """Lane-replicated (B, K, HC) alpha -> compact (B, K, H) f32 via one
-    MXU matmul (each head's ch lanes hold one value; e.T sums them,
-    1/ch rescales)."""
-    b, k, hc = alpha.shape
+def _compact_sum(t, e):
+    """(B, K, HC) -> per-head sums (B, K, H) f32 via one MXU matmul
+    (contraction with E^T sums each head's C lanes)."""
+    b, k, hc = t.shape
     return jnp.dot(
-        (alpha * (1.0 / ch)).reshape(b * k, hc),
-        e.astype(_F32).T,
-        preferred_element_type=_F32,
+        t.reshape(b * k, hc), e.T, preferred_element_type=_F32
     ).reshape(b, k, e.shape[0])
 
 
-def _fwd_kernel(g_ref, xr_ref, mask_ref, keep_ref, am_ref, e_ref,
+def _fwd_kernel(g_ref, xr_ref, mask_ref, keep_ref, attc_ref, e_ref,
                 out_ref, alpha_ref, *, slope: float):
     """One destination block: fused leaky/logits/softmax/weighted-sum.
 
@@ -151,7 +153,7 @@ def _fwd_kernel(g_ref, xr_ref, mask_ref, keep_ref, am_ref, e_ref,
     xr_ref   : (B, HC)
     mask_ref : (B, K) f32 (1.0 = real edge)
     keep_ref : (B, K, H) f32 dropout multipliers
-    am_ref   : (HC, HC) attention lane-replication matrix
+    attc_ref : (HC, H) attention head-compaction matrix
     e_ref    : (H, HC) head -> lanes expander
     out_ref  : (B, HC)
     alpha_ref: (B, K, H) f32 — compact PRE-dropout softmax coefficients,
@@ -159,32 +161,27 @@ def _fwd_kernel(g_ref, xr_ref, mask_ref, keep_ref, am_ref, e_ref,
                logits/softmax recompute chain (its dominant VPU cost)
     """
     g = g_ref[:]
-    e = e_ref[:]
-    ch = g.shape[-1] // e.shape[0]
     mask3 = mask_ref[:][..., None] > 0
-    _, alpha = _alpha3(g, xr_ref[:], mask3, am_ref[:], slope)
-    alpha_c = _alpha_compact(alpha, e, ch)
+    _, alpha_c = _alpha_c(g, xr_ref[:], mask3, attc_ref[:], slope)
     alpha_ref[:] = alpha_c
     # fold keep into the COMPACT alpha (tiny (B, K, H) multiply) and
-    # lane-expand once — one less full (B, K, HC) pass than
-    # expanding keep separately
-    w = _keep3(alpha_c * keep_ref[:].astype(_F32), e)
+    # lane-expand once — the only full-width consumers are the final
+    # multiply and K-sum
+    w = _keep3(alpha_c * keep_ref[:].astype(_F32), e_ref[:])
     out = (w * g.astype(_F32)).sum(axis=1)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _fwd_kernel_nokeep(g_ref, xr_ref, mask_ref, am_ref, e_ref, out_ref,
-                       alpha_ref, *, slope: float):
+def _fwd_kernel_nokeep(g_ref, xr_ref, mask_ref, attc_ref, e_ref,
+                       out_ref, alpha_ref, *, slope: float):
     """Deterministic-mode forward: no dropout multipliers, so the
-    (B, K, H) keep load, its lane-expansion matmul, and the extra
-    (B, K, HC) multiply are all skipped."""
+    (B, K, H) keep load and its compact multiply are skipped."""
     g = g_ref[:]
-    e = e_ref[:]
-    ch = g.shape[-1] // e.shape[0]
     mask3 = mask_ref[:][..., None] > 0
-    _, alpha = _alpha3(g, xr_ref[:], mask3, am_ref[:], slope)
-    alpha_ref[:] = _alpha_compact(alpha, e, ch)
-    out = (alpha * g.astype(_F32)).sum(axis=1)
+    _, alpha_c = _alpha_c(g, xr_ref[:], mask3, attc_ref[:], slope)
+    alpha_ref[:] = alpha_c
+    w = _keep3(alpha_c, e_ref[:])
+    out = (w * g.astype(_F32)).sum(axis=1)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
@@ -226,50 +223,51 @@ def _prng_keep(seed_ref, b, k, heads, thresh, inv_keep):
     return jnp.where(r <= jnp.int32(thresh), inv_keep, 0.0).astype(_F32)
 
 
-def _fwd_kernel_prng(g_ref, xr_ref, mask_ref, seed_ref, am_ref, e_ref,
+def _fwd_kernel_prng(g_ref, xr_ref, mask_ref, seed_ref, attc_ref, e_ref,
                      out_ref, alpha_ref, *, slope: float, heads: int,
                      thresh: int, inv_keep: float):
     """Dropout-mode forward with in-kernel PRNG keep generation."""
     g = g_ref[:]
     b, k, hc = g.shape
-    e = e_ref[:]
     mask3 = mask_ref[:][..., None] > 0
-    _, alpha = _alpha3(g, xr_ref[:], mask3, am_ref[:], slope)
-    alpha_c = _alpha_compact(alpha, e, hc // heads)
+    _, alpha_c = _alpha_c(g, xr_ref[:], mask3, attc_ref[:], slope)
     alpha_ref[:] = alpha_c
     keep = _prng_keep(seed_ref, b, k, heads, thresh, inv_keep)
     # compact alpha*keep, then ONE lane expansion (see _fwd_kernel)
-    w = _keep3(alpha_c * keep, e)
+    w = _keep3(alpha_c * keep, e_ref[:])
     out = (w * g.astype(_F32)).sum(axis=1)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _bwd_core(g, xr, alpha, kl, att_lane, ms, go, slope):
-    """Shared backward math given the STORED compact-expanded alpha.
+def _bwd_core(g, xr, alpha_c, keep_c, att_lane, e, go, slope):
+    """Shared backward math from the STORED compact alpha.
 
     The forward residual carries alpha, so the logits/softmax chain
     (mask, matmul, max, sub, exp, sum, div — the backward's dominant
     VPU cost) is never recomputed; only the cheap p/s/leak chain is.
+    The softmax VJP itself (dA, inner, de) runs at COMPACT (B, K, H)
+    f32 — the same lane-packing as the forward — with TWO small
+    head-expansion matmuls (de, a_eff) feeding the full-width products.
     alpha is exactly zero on masked slots and padding rows (masked
     softmax), which makes de/dp/dg/dxr/datt zero there with NO explicit
     mask loads or selects.
 
-      dA    = group-sum-broadcast(G ⊗ g)              (lane space)
-      de    = alpha * (dA kl - Σ_k alpha dA kl)        (softmax VJP)
-      dg    = alpha kl G + de * att * leaky'(p)
-      dxr   = Σ_k de * att * leaky'(p)
-      datt  = Σ_rows Σ_k de * s                        (att lane layout)
+      dA_c   = per-head-sum(G ⊗ g)                     (compact)
+      de_c   = alpha (dA kl - Σ_k alpha dA kl)          (softmax VJP)
+      dg     = alpha kl G + de * att * leaky'(p)
+      dxr    = Σ_k de * att * leaky'(p)
+      datt   = Σ_rows Σ_k de * s                        (att lane layout)
+      dkeep_c= alpha_c * dA_c                           (compact)
     """
     dt = xr.dtype
     b, k, hc = g.shape
     go3 = go.astype(_F32)[:, None, :]                  # (B, 1, HC)
     t = (go[:, None, :] * g).astype(dt)                # (B, K, HC)
-    dA = jnp.dot(
-        t.reshape(b * k, hc), ms, preferred_element_type=_F32
-    ).reshape(b, k, hc)
-    dalpha = dA if kl is None else dA * kl
-    inner = (alpha * dalpha).sum(axis=1, keepdims=True)
-    de = alpha * (dalpha - inner)
+    dA_c = _compact_sum(t, e)                          # (B, K, H)
+    dalpha_c = dA_c if keep_c is None else dA_c * keep_c
+    inner_c = (alpha_c * dalpha_c).sum(axis=1, keepdims=True)
+    de_c = alpha_c * (dalpha_c - inner_c)
+    de = _keep3(de_c, e)                               # (B, K, HC) f32
 
     p = g + xr[:, None, :]
     p_pos = p.astype(_F32) > 0
@@ -278,35 +276,28 @@ def _bwd_core(g, xr, alpha, kl, att_lane, ms, go, slope):
         axis=0, keepdims=True
     )                                                  # (1, HC)
     leak = jnp.where(p_pos, 1.0, slope)
-    dp = de * att_lane[None] * leak
+    dp = de * att_lane[None].astype(_F32) * leak
     dxr = dp.sum(axis=1).astype(dt)
-    a_eff = alpha if kl is None else alpha * kl
+    a_eff_c = alpha_c if keep_c is None else alpha_c * keep_c
+    a_eff = _keep3(a_eff_c, e)
     dg = (a_eff * go3 + dp).astype(dt)
-    return dA, de, dg, dxr, datt_part
+    dkeep_c = alpha_c * dA_c
+    return dkeep_c, dg, dxr, datt_part
 
 
 def _bwd_kernel(g_ref, xr_ref, alpha_ref, keep_ref, att_ref, e_ref,
-                ms_ref, go_ref,
+                go_ref,
                 dg_ref, dxr_ref, datt_ref, dkeep_ref,
                 *, heads: int, slope: float):
     """Backward over one block from the stored compact alpha
     (see _bwd_core)."""
     blk = pl.program_id(0)
-    g = g_ref[:]
-    e = e_ref[:]
-    b, k, hc = g.shape
-    ch = hc // heads
-    alpha = _keep3(alpha_ref[:], e)                    # lane-expand
-    kl = _keep3(keep_ref[:], e)
-    dA, de, dg, dxr, datt_part = _bwd_core(
-        g, xr_ref[:], alpha, kl, att_ref[:].astype(_F32), ms_ref[:],
-        go_ref[:], slope,
+    dkeep_c, dg, dxr, datt_part = _bwd_core(
+        g_ref[:], xr_ref[:], alpha_ref[:], keep_ref[:].astype(_F32),
+        att_ref[:], e_ref[:], go_ref[:], slope,
     )
     dxr_ref[:] = dxr
-    # head-compact alpha*dA (dkeep): each head's lanes hold one value
-    dkeep_ref[:] = _alpha_compact(alpha * dA, e, ch).astype(
-        dkeep_ref.dtype
-    )
+    dkeep_ref[:] = dkeep_c.astype(dkeep_ref.dtype)
     dg_ref[:] = dg
 
     @pl.when(blk == 0)
@@ -316,7 +307,7 @@ def _bwd_kernel(g_ref, xr_ref, alpha_ref, keep_ref, att_ref, e_ref,
 
 
 def _bwd_kernel_prng(g_ref, xr_ref, alpha_ref, seed_ref, att_ref,
-                     e_ref, ms_ref, go_ref,
+                     e_ref, go_ref,
                      dg_ref, dxr_ref, datt_ref,
                      *, heads: int, slope: float, thresh: int,
                      inv_keep: float):
@@ -325,13 +316,10 @@ def _bwd_kernel_prng(g_ref, xr_ref, alpha_ref, seed_ref, att_ref,
     no dkeep output — keep is not a differentiable input."""
     blk = pl.program_id(0)
     g = g_ref[:]
-    e = e_ref[:]
     b, k, hc = g.shape
-    alpha = _keep3(alpha_ref[:], e)
-    keep = _prng_keep(seed_ref, b, k, heads, thresh, inv_keep)
-    kl = _keep3(keep, e)
-    _, _, dg, dxr, datt_part = _bwd_core(
-        g, xr_ref[:], alpha, kl, att_ref[:].astype(_F32), ms_ref[:],
+    keep_c = _prng_keep(seed_ref, b, k, heads, thresh, inv_keep)
+    _, dg, dxr, datt_part = _bwd_core(
+        g, xr_ref[:], alpha_ref[:], keep_c, att_ref[:], e_ref[:],
         go_ref[:], slope,
     )
     dxr_ref[:] = dxr
@@ -344,16 +332,14 @@ def _bwd_kernel_prng(g_ref, xr_ref, alpha_ref, seed_ref, att_ref,
 
 
 def _bwd_kernel_nokeep(g_ref, xr_ref, alpha_ref, att_ref, e_ref,
-                       ms_ref, go_ref,
+                       go_ref,
                        dg_ref, dxr_ref, datt_ref,
                        *, heads: int, slope: float):
     """Deterministic-mode backward (keep == 1): drops the keep loads,
-    the lane expansions, and the dkeep output."""
+    the compact keep multiplies, and the dkeep output."""
     blk = pl.program_id(0)
-    g = g_ref[:]
-    alpha = _keep3(alpha_ref[:], e_ref[:])
-    _, _, dg, dxr, datt_part = _bwd_core(
-        g, xr_ref[:], alpha, None, att_ref[:].astype(_F32), ms_ref[:],
+    _, dg, dxr, datt_part = _bwd_core(
+        g_ref[:], xr_ref[:], alpha_ref[:], None, att_ref[:], e_ref[:],
         go_ref[:], slope,
     )
     dxr_ref[:] = dxr
@@ -480,8 +466,8 @@ def _fwd_specs(blk, k, hc, heads, mode):
                                   memory_space=pltpu.VMEM))  # keep
     elif mode == "prng":
         specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # seed (2,)
-    specs.append(pl.BlockSpec((hc, hc), lambda b: (0, 0),
-                              memory_space=pltpu.VMEM))      # am
+    specs.append(pl.BlockSpec((hc, heads), lambda b: (0, 0),
+                              memory_space=pltpu.VMEM))      # attc
     specs.append(pl.BlockSpec((heads, hc), lambda b: (0, 0),
                               memory_space=pltpu.VMEM))      # e
     return specs
@@ -506,8 +492,6 @@ def _bwd_specs(blk, k, hc, heads, mode):
                      memory_space=pltpu.VMEM),               # att lanes
         pl.BlockSpec((heads, hc), lambda b: (0, 0),
                      memory_space=pltpu.VMEM),               # e
-        pl.BlockSpec((hc, hc), lambda b: (0, 0),
-                     memory_space=pltpu.VMEM),               # ms
         pl.BlockSpec((blk, hc), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),               # go
     ])
@@ -521,7 +505,7 @@ def _fwd_rule(xl, xr, att, keep_mask, csr, csr_t, config):
     g3, xr_p, keep, mask_f, n_dst, n_pad, k, hc = _prep(
         xl, xr, keep_mask, csr, blk
     )
-    am, ms, e = _head_matrices(att, xr.dtype)
+    attc, e = _head_matrices(att, xr.dtype)
     if mode == "prng":
         thresh, inv_keep = _prng_config(config)
         seed = jax.lax.bitcast_convert_type(keep_mask, jnp.int32)
@@ -529,13 +513,13 @@ def _fwd_rule(xl, xr, att, keep_mask, csr, csr_t, config):
             _fwd_kernel_prng, slope=slope, heads=heads, thresh=thresh,
             inv_keep=inv_keep,
         )
-        operands = (g3, xr_p, mask_f, seed, am, e)
+        operands = (g3, xr_p, mask_f, seed, attc, e)
     elif mode == "nokeep":
         kern = functools.partial(_fwd_kernel_nokeep, slope=slope)
-        operands = (g3, xr_p, mask_f, am, e)
+        operands = (g3, xr_p, mask_f, attc, e)
     else:
         kern = functools.partial(_fwd_kernel, slope=slope)
-        operands = (g3, xr_p, mask_f, keep, am, e)
+        operands = (g3, xr_p, mask_f, keep, attc, e)
     out, alpha_c = pl.pallas_call(
         kern,
         grid=(n_pad // blk,),
@@ -572,7 +556,7 @@ def _bwd_rule(config, res, G):
         if mode == "keep" else None
     )
     G_p = _pad_rows(G, n_pad)
-    _, ms, e = _head_matrices(att, xr.dtype)
+    _, e = _head_matrices(att, xr.dtype)
     # att in lane layout: (H, C) flattened is exactly the per-lane
     # attention vector (group(lane) == lane // C)
     att_lane = att.reshape(1, hc).astype(xr.dtype)
@@ -596,14 +580,14 @@ def _bwd_rule(config, res, G):
             _bwd_kernel_prng, heads=heads, slope=slope, thresh=thresh,
             inv_keep=inv_keep,
         )
-        operands = (g3, xr_p, alpha_c, seed, att_lane, e, ms, G_p)
+        operands = (g3, xr_p, alpha_c, seed, att_lane, e, G_p)
     elif mode == "nokeep":
         kern = functools.partial(_bwd_kernel_nokeep, heads=heads,
                                  slope=slope)
-        operands = (g3, xr_p, alpha_c, att_lane, e, ms, G_p)
+        operands = (g3, xr_p, alpha_c, att_lane, e, G_p)
     else:
         kern = functools.partial(_bwd_kernel, heads=heads, slope=slope)
-        operands = (g3, xr_p, alpha_c, keep, att_lane, e, ms, G_p)
+        operands = (g3, xr_p, alpha_c, keep, att_lane, e, G_p)
         out_specs.append(pl.BlockSpec((blk, k, heads),
                                       lambda b: (b, 0, 0),
                                       memory_space=pltpu.VMEM))
