@@ -174,6 +174,48 @@ class ISTPreprocessor(ABC):
         return out_dir
 
 
+def _intersect_nuclei(cell_ids, cell_polys, nuc_ids, nuc_polys):
+    """Clip each nucleus ring to its cell ring (the reference's
+    disabled-by-comment intent, preprocessor.py:487-501).
+
+    Nuclei with no overlapping cell ring are DROPPED (the '10x bug'
+    removal the disabled block performed); degenerate contacts fall
+    back to the vendor ring (counted in the log)."""
+    from ..geometry.boolean import (
+        DegenerateIntersection, largest_ring, polygon_intersection,
+    )
+
+    cells = dict(zip(cell_ids, cell_polys))
+    out_ids, out_polys = [], []
+    n_clip = n_drop = n_fallback = 0
+    for nid, npoly in zip(nuc_ids, nuc_polys):
+        cpoly = cells.get(nid)
+        if cpoly is None:
+            out_ids.append(nid)
+            out_polys.append(npoly)
+            continue
+        try:
+            ring = largest_ring(polygon_intersection(npoly, cpoly))
+        except DegenerateIntersection:
+            n_fallback += 1
+            out_ids.append(nid)
+            out_polys.append(npoly)
+            continue
+        if ring is None or len(ring) < 3:
+            n_drop += 1
+            continue
+        if len(ring) != len(npoly):
+            n_clip += 1
+        out_ids.append(nid)
+        out_polys.append(ring.astype(np.float64))
+    logger.info(
+        "nucleus_strategy=intersect: %d clipped, %d dropped "
+        "(non-overlapping), %d degenerate fallbacks of %d nuclei",
+        n_clip, n_drop, n_fallback, len(nuc_ids),
+    )
+    return out_ids, out_polys
+
+
 def _build_boundary_frame(
     cell_ids, cell_polys, nuc_ids, nuc_polys
 ) -> Tuple[pd.DataFrame, Dict]:
@@ -253,10 +295,32 @@ class StandardPreprocessor(ISTPreprocessor):
 @register_preprocessor("10x_xenium")
 class XeniumPreprocessor(ISTPreprocessor):
     """10x Xenium, analysis software >= 2.0
-    (reference: preprocessor.py:346-519)."""
+    (reference: preprocessor.py:346-519).
+
+    ``nucleus_strategy`` closes the cell∩nucleus question
+    (reference: preprocessor.py:487-501): the reference COMPUTES the
+    intersection but the block replacing nucleus geometry is commented
+    out, so its live behavior keeps the vendor nucleus rings —
+    ``'vendor'`` (default) matches that.  ``'intersect'`` applies what
+    the disabled block intended: each nucleus ring is clipped to its
+    cell ring (largest intersection component; nuclei disjoint from
+    their cell — the 10x non-overlap bug — are dropped).  Nucleus
+    geometry feeds only the nucleus-mode prediction graph and
+    morphology features; supervision edges come from the vendor
+    compartment/cell-id columns and are IDENTICAL under both strategies
+    (pinned by tests/test_nucleus_strategy.py).
+    """
 
     tx_fields = XeniumTranscriptFields()
     bd_fields = XeniumBoundaryFields()
+
+    def __init__(self, data_dir, nucleus_strategy: str = "vendor"):
+        super().__init__(data_dir)
+        if nucleus_strategy not in ("vendor", "intersect"):
+            raise ValueError(
+                f"Unrecognized nucleus_strategy: '{nucleus_strategy}'."
+            )
+        self.nucleus_strategy = nucleus_strategy
 
     @staticmethod
     def _sw_version_ok(version) -> bool:
@@ -387,9 +451,14 @@ class XeniumPreprocessor(ISTPreprocessor):
         nuc_ids, nuc_polys = self._read_boundary_file(
             self.data_dir / raw.nucleus_filename
         )
-        # NOTE: the reference computes the cell∩nucleus intersection but
-        # the block replacing nucleus geometry is commented out
-        # (preprocessor.py:493-501) — nuclei keep their own rings.
+        # 'vendor' keeps the nucleus rings as shipped — the reference's
+        # LIVE behavior (its intersection-replacement block is commented
+        # out, preprocessor.py:493-501); 'intersect' applies that
+        # block's intent (see class docstring)
+        if self.nucleus_strategy == "intersect":
+            nuc_ids, nuc_polys = _intersect_nuclei(
+                cell_ids, cell_polys, nuc_ids, nuc_polys
+            )
         return _build_boundary_frame(
             cell_ids, cell_polys, nuc_ids, nuc_polys
         )
@@ -688,8 +757,12 @@ def _infer_platform(data_dir: Path) -> str:
 
 
 def get_preprocessor(
-    data_dir, platform: Optional[str] = None
+    data_dir, platform: Optional[str] = None, **kwargs
 ) -> ISTPreprocessor:
+    """Resolve the platform preprocessor (auto-inferred unless named,
+    reference: preprocessor.py:542-578).  Extra ``kwargs`` pass through
+    to the preprocessor constructor (e.g. the Xenium readers'
+    ``nucleus_strategy``)."""
     data_dir = Path(data_dir)
     if platform is None:
         platform = _infer_platform(data_dir)
@@ -699,4 +772,4 @@ def get_preprocessor(
             f"Unknown platform: '{platform}'. "
             f"Available: {list(PREPROCESSORS)}"
         )
-    return PREPROCESSORS[platform](data_dir)
+    return PREPROCESSORS[platform](data_dir, **kwargs)
