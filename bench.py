@@ -47,7 +47,10 @@ def build_tile(n_tx=50_000, n_bd=2_500, n_genes=400, f_bd=128, seed=0):
     from segger_tpu.data.neighbors_host import kdtree_neighbors
 
     rng = np.random.default_rng(seed)
-    pos = rng.uniform(0, 600, (n_tx, 2)).astype(np.float32)  # ~140 tx/100um^2
+    # extent scales with sqrt(n_tx): constant Xenium-like density
+    # (~140 tx/100um^2 at the 50k default) for every tile size
+    ext = 600.0 * float(np.sqrt(n_tx / 50_000))
+    pos = rng.uniform(0, ext, (n_tx, 2)).astype(np.float32)
 
     # Mirror the production tile path (data/partition.py::extract_tile):
     # tx rows are strip-major locality ordered before graph assembly, so
@@ -63,7 +66,7 @@ def build_tile(n_tx=50_000, n_bd=2_500, n_genes=400, f_bd=128, seed=0):
     g = int(np.ceil(np.sqrt(n_bd)))
     gx, gy = np.meshgrid(np.arange(g), np.arange(g))
     centers = np.stack([gx.ravel(), gy.ravel()], 1)[:n_bd]
-    pitch = 600.0 / g
+    pitch = ext / g
     bd_pos = (
         centers * pitch + pitch / 2
         + rng.normal(0, pitch / 6, (n_bd, 2))
@@ -281,6 +284,23 @@ def main():
         lambda: train_chain(params, opt_state, tile, keys), n_chain
     ) - floor_train
 
+    # second tile shape (2x transcripts at the same spatial density —
+    # a denser quadtree leaf) so kernel tuning is never validated
+    # against a single bucket shape
+    tile2 = build_tile(n_tx=100_000, n_bd=5_000, seed=1)
+
+    @jax.jit
+    def fwd2_chain(params):
+        def body(i, carry):
+            p, acc = carry
+            out = model.apply(p, tile2)
+            acc2 = acc + out["tx"].sum() + out["bd"].sum()
+            return (jax.tree.map(lambda x: x + acc2 * 1e-25, p), acc2)
+
+        return jax.lax.fori_loop(0, N_FWD, body, (params, 0.0))[1]
+
+    fwd2_ms = _chained_ms(lambda: fwd2_chain(params), N_FWD) - floor_fwd
+
     e_tt = int(np.asarray(tile.tt.mask).sum())
     e_tb = int(np.asarray(tile.tb.mask).sum())
     edges_per_layer = e_tt + e_tb
@@ -315,6 +335,8 @@ def main():
         "vs_baseline": round(edges_per_sec / sol_edges_per_sec, 4),
         "detail": {
             "fwd_ms": round(fwd_ms, 3),
+            # second bucket shape: 100k tx / 5k bd at the same density
+            "fwd_100k_ms": round(fwd2_ms, 3),
             "predict_step_ms": round(predict_ms, 3),
             "train_step_ms": round(train_ms, 3),
             "round_trip_floor_ms": round(floor_fwd, 3),

@@ -33,6 +33,24 @@ class TripletSample(NamedTuple):
     ok: jnp.ndarray          # (N,) bool — anchor had a valid sample
 
 
+def _row_gather_1d(table: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """``table[pos]`` for a 1-D int table as a LANE-WIDE row gather.
+
+    XLA lowers 1-D gathers on TPU to a devectorized loop (~150M
+    elements/s); viewing the table as (rows, 128) makes it a row
+    gather (~580M rows/s) followed by a 2-pass one-hot select."""
+    m = table.shape[0]
+    m_pad = -(-m // 128) * 128
+    t2 = jnp.pad(table, (0, m_pad - m)).reshape(-1, 128)
+    rows = jax.lax.optimization_barrier(
+        jnp.take(t2, pos // 128, axis=0)
+    )
+    col = (pos % 128)[:, None]
+    return jnp.where(
+        jnp.arange(128)[None, :] == col, rows, 0
+    ).sum(axis=1)
+
+
 def prepare_similarity(similarity: jnp.ndarray) -> jnp.ndarray:
     """Fill diagonal with 1 and clamp to the reference's minimum sampling
     probability (triplet_loss.py:21-24)."""
@@ -114,7 +132,15 @@ def sample_triplets(
         u2 = jax.random.uniform(key_member, (n,))
         j = jnp.floor(u2 * size.astype(jnp.float32)).astype(jnp.int32)
         j = jnp.clip(j, 0, jnp.maximum(size - 1, 0))
-        member = sorted_idx[offsets[cl] + j]
+        # The member lookup is a 50k-element SCALAR gather — XLA lowers
+        # 1-D s32 gathers to ~0.33 ms per draw at 50k anchors on TPU
+        # (2x the rest of the triplet loss combined; r4 xplane trace,
+        # tools/trace_loss.py).  Reshape the table to 128-lane rows so
+        # the lookup becomes a fast ROW gather plus an in-row one-hot
+        # select; the barrier keeps the gather out of the surrounding
+        # loop fusion.
+        pos = offsets[cl] + j
+        member = _row_gather_1d(sorted_idx, pos)
         ok = (tot[:, 0] > 0) & (size > 0)
         return member.astype(jnp.int32), cl, ok
 

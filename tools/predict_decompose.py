@@ -1,0 +1,76 @@
+"""Decompose predict_step - forward = candidate scoring cost
+(VERDICT r3 item 4: predict_step 8.7 ms vs fwd 6.9 ms; target
+predict <= fwd + 0.5 ms).
+
+Times score_candidates and its pieces on FIXED embeddings (chained,
+bench methodology), so the conv forward is excluded:
+
+  gather     csr_gather(bd_feats, cand)            (N, K, F) rows
+  score      + einsum + norms + divide             cosine per slot
+  full       + csr_max + bd_index map              the production op
+
+    timeout 1200 python tools/predict_decompose.py
+"""
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_tile, _chained_ms, _round_trip_floor_ms
+    from segger_tpu.ops import csr_gather, csr_max, score_candidates
+    from segger_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    F32 = jnp.float32
+    tile = build_tile()
+    n_tx = tile.tx_gene.shape[0]
+    n_bd = tile.bd_x.shape[0]
+    rng = np.random.default_rng(0)
+    emb_tx = jnp.asarray(rng.normal(size=(n_tx, 64)), F32)
+    emb_bd = jnp.asarray(rng.normal(size=(n_bd, 64)), F32)
+    cand = tile.cand
+
+    def gather_only(etx, ebd):
+        g = csr_gather(ebd, cand)
+        return g.sum() * 1e-9
+
+    def score_only(etx, ebd):
+        g = csr_gather(ebd, cand)
+        num = jnp.einsum("nf,nkf->nk", etx, g)
+        ntx = jnp.sqrt(jnp.maximum((etx * etx).sum(-1, keepdims=True),
+                                   1e-16))
+        ng = jnp.sqrt(jnp.maximum((g * g).sum(-1), 1e-16))
+        return (num / (ntx * ng)).sum() * 1e-9
+
+    def full(etx, ebd):
+        ms, seg = score_candidates(etx, ebd, cand, tile.bd_index)
+        return ms.sum() + seg.sum() * 1e-9
+
+    N = 100
+    floor = _round_trip_floor_ms(N)
+    res = {"floor_ms": round(floor, 4)}
+    for name, fn in [("gather", gather_only), ("score", score_only),
+                     ("full", full)]:
+        @jax.jit
+        def chain(etx, ebd, fn=fn):
+            def body(i, carry):
+                etx, ebd, acc = carry
+                acc2 = acc + fn(etx, ebd)
+                return (etx + acc2 * 1e-30, ebd + acc2 * 1e-30, acc2)
+            return jax.lax.fori_loop(0, N, body, (etx, ebd, 0.0))[2]
+        res[name + "_ms"] = round(
+            _chained_ms(lambda: chain(emb_tx, emb_bd), N) - floor, 4
+        )
+        print(name, res[name + "_ms"], flush=True)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -77,10 +77,31 @@ def main():
         return (tx_loss(etx, ebd, k1) + bd_loss(etx, ebd, k2)
                 + sg_loss(etx, ebd, k3))
 
+    def tx_loss_barrier(etx, ebd, k):
+        """tx triplet with optimization barriers around the row
+        gathers: XLA fusing a gather into the consumer loop-fusion
+        de-vectorizes it (the r4 trace's 0.6 ms f32[50k,64] fusions);
+        the barrier forces a standalone (fast) gather op."""
+        s = L.sample_triplets(
+            k, tile.tx_cluster, tile.tx_interior & tile.tx_valid,
+            tx_sim,
+            sort_structure=(tile.tx_sampler_sorted,
+                            tile.tx_sampler_counts),
+        )
+        a = etx
+        p = jax.lax.optimization_barrier(etx[s.positives])
+        ng = jax.lax.optimization_barrier(etx[s.negatives])
+        dp = jnp.sqrt(jnp.sum((a - p) ** 2, axis=-1) + 1e-12)
+        dn = jnp.sqrt(jnp.sum((a - ng) ** 2, axis=-1) + 1e-12)
+        per = jnp.maximum(dp - dn + 0.3, 0.0)
+        sm = jnp.where(s.ok, per, 0.0).sum()
+        return sm / jnp.maximum(s.ok.sum(), 1)
+
     key = jax.random.PRNGKey(0)
     out = {}
     for name, fn in [("tx_triplet", tx_loss), ("bd_metric", bd_loss),
-                     ("sg_link", sg_loss), ("all", all_losses)]:
+                     ("sg_link", sg_loss), ("all", all_losses),
+                     ("tx_triplet_barrier", tx_loss_barrier)]:
         c = chain(fn)
         out[name + "_ms"] = round(
             _chained_ms(lambda: c(emb_tx, emb_bd, key), N) - floor, 4
