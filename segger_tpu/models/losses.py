@@ -33,22 +33,7 @@ class TripletSample(NamedTuple):
     ok: jnp.ndarray          # (N,) bool — anchor had a valid sample
 
 
-def _row_gather_1d(table: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """``table[pos]`` for a 1-D int table as a LANE-WIDE row gather.
-
-    XLA lowers 1-D gathers on TPU to a devectorized loop (~150M
-    elements/s); viewing the table as (rows, 128) makes it a row
-    gather (~580M rows/s) followed by a 2-pass one-hot select."""
-    m = table.shape[0]
-    m_pad = -(-m // 128) * 128
-    t2 = jnp.pad(table, (0, m_pad - m)).reshape(-1, 128)
-    rows = jax.lax.optimization_barrier(
-        jnp.take(t2, pos // 128, axis=0)
-    )
-    col = (pos % 128)[:, None]
-    return jnp.where(
-        jnp.arange(128)[None, :] == col, rows, 0
-    ).sum(axis=1)
+from ..ops.gather_agg import row_gather_1d as _row_gather_1d
 
 
 def prepare_similarity(similarity: jnp.ndarray) -> jnp.ndarray:

@@ -89,6 +89,27 @@ def csr_softmax(logits: jnp.ndarray, csr: PaddedCSR) -> jnp.ndarray:
     return ez / jnp.maximum(denom, 1e-30)
 
 
+def row_gather_1d(table: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """``table[pos]`` for a 1-D table as a LANE-WIDE row gather.
+
+    XLA lowers 1-D gathers on TPU to a devectorized loop (~150M
+    elements/s — measured 0.33 ms for 50k lookups, r4 xplane traces);
+    viewing the table as (rows, 128) makes it a row gather (~580M
+    rows/s) plus a 2-pass one-hot in-row select.  The barrier keeps the
+    gather out of surrounding loop fusions (fused, it devectorizes
+    again)."""
+    m = table.shape[0]
+    m_pad = -(-m // 128) * 128
+    t2 = jnp.pad(table, (0, m_pad - m)).reshape(-1, 128)
+    rows = jax.lax.optimization_barrier(
+        jnp.take(t2, pos // 128, axis=0)
+    )
+    col = (pos % 128)[:, None]
+    return jnp.where(
+        jnp.arange(128)[None, :] == col, rows, 0
+    ).sum(axis=1)
+
+
 def csr_max(
     values: jnp.ndarray, csr: PaddedCSR
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -111,11 +132,14 @@ def csr_max(
     max_val = z.max(axis=1)
     slot = jnp.argmax(z, axis=1)
     has_any = csr.mask.any(axis=1)
-    arg = jnp.where(
-        has_any,
-        jnp.take_along_axis(csr.idx, slot[:, None], axis=1)[:, 0],
-        -1,
-    )
+    # one-hot select over the K slots instead of take_along_axis: the
+    # per-row single-element gather devectorizes on TPU (part of the
+    # 0.85 ms argmax+map chain in the r4 predict decomposition)
+    picked = jnp.where(
+        jnp.arange(csr.idx.shape[1])[None, :] == slot[:, None],
+        csr.idx, 0,
+    ).sum(axis=1)
+    arg = jnp.where(has_any, picked, -1)
     return max_val, arg
 
 
@@ -232,7 +256,9 @@ def score_candidates(
     )
     ng = jnp.sqrt(jnp.maximum((g * g).sum(-1), 1e-16))
     max_sim, arg = csr_max(num / (ntx * ng), cand)
-    seg = jnp.where(arg >= 0, bd_index[arg], -1)
+    seg = jnp.where(
+        arg >= 0, row_gather_1d(bd_index, jnp.maximum(arg, 0)), -1
+    )
     return max_sim, seg.astype(jnp.int32)
 
 
