@@ -7,6 +7,7 @@ from .padded_csr import (
 )
 from .gather_agg import (
     csr_gather,
+    row_gather_1d,
     csr_gather_t,
     csr_spmm,
     csr_sddmm,
@@ -20,6 +21,7 @@ from .gather_agg import (
 
 __all__ = [
     "PaddedCSR",
+    "row_gather_1d",
     "coo_to_padded_csr",
     "padded_csr_to_coo",
     "transpose_csr",

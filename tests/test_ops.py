@@ -219,3 +219,21 @@ def test_grad_flows_through_spmm(rng):
     for s in src:
         deg[s] += 1
     np.testing.assert_allclose(g[:, 0], deg, rtol=1e-5)
+
+
+def test_row_gather_1d_matches_plain_indexing():
+    """row_gather_1d (lane-wide lookup for 1-D tables — the r4 fix for
+    TPU's devectorized 1-D gathers) must equal plain indexing for any
+    table length / position pattern, including non-128-multiple tables
+    and repeated positions."""
+    import jax.numpy as jnp
+
+    from segger_tpu.ops import row_gather_1d
+
+    rng = np.random.default_rng(3)
+    for m in (1, 127, 128, 129, 1000):
+        table = rng.integers(-5, 10_000, m).astype(np.int32)
+        pos = rng.integers(0, m, 257).astype(np.int32)
+        got = np.asarray(row_gather_1d(jnp.asarray(table),
+                                       jnp.asarray(pos)))
+        np.testing.assert_array_equal(got, table[pos])
