@@ -85,6 +85,12 @@ def add_segment_parser(sub):
                    help="Standardized (or raw platform) dataset directory")
     p.add_argument("-o", "--output-directory", required=True)
     p.add_argument("--platform", default=None)
+    p.add_argument("--nucleus-strategy", default="vendor",
+                   choices=["vendor", "intersect"],
+                   help="Xenium nucleus geometry: vendor rings as "
+                        "shipped (the reference's live behavior) or "
+                        "clipped to their cell ring (the reference's "
+                        "disabled cell-intersection intent)")
     p.add_argument("--no-anndata", action="store_true",
                    help="Skip segger_anndata.h5ad output")
     p.add_argument("--debug", action="store_true",
@@ -132,7 +138,12 @@ def run_segment(args) -> int:
             json.dump({**pipe_kwargs, **train_kwargs}, f, indent=2,
                       default=str)
 
-    pp = get_preprocessor(args.input_directory, platform=args.platform)
+    pp_kwargs = (
+        {"nucleus_strategy": args.nucleus_strategy}
+        if args.nucleus_strategy != "vendor" else {}
+    )
+    pp = get_preprocessor(args.input_directory, platform=args.platform,
+                          **pp_kwargs)
     bd, polys = pp.boundaries
     cfg = PipelineConfig(**pipe_kwargs)
     if args.low_memory:
