@@ -9,24 +9,126 @@ CPU is acceptable (SURVEY §7 hard parts).
 """
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 from scipy import sparse as sp
 
+logger = logging.getLogger(__name__)
 
-def knn_jaccard_graph(X: np.ndarray, n_neighbors: int) -> sp.csr_matrix:
+# Above this many points, kNN switches from exact sklearn to the IVF
+# approximate search.  Exact tree/brute kNN on high-dim PCA embeddings is
+# effectively O(n^2) on CPU (measured ~quadratic: 24 s at 100k, 84 s at
+# 200k, extrapolating to ~9 h at the 4M cells of a 100M-transcript
+# slide); the IVF path is near-linear and BLAS-parallel.
+ANN_THRESHOLD = 100_000
+
+
+def _ivf_knn(X: np.ndarray, k: int, seed: int = 0, nprobe: int = 8) -> np.ndarray:
+    """Approximate kNN via an IVF (inverted-file) coarse quantizer.
+
+    MiniBatch k-means picks ~2*sqrt(n) list centroids; each point is
+    scored against the members of its ``nprobe`` nearest lists with
+    blocked float32 GEMMs (multi-threaded BLAS), merging a running
+    top-k.  Every point is a member of exactly its primary list, so the
+    query always finds itself (cuML self-inclusion semantics preserved).
+    """
+    from sklearn.cluster import MiniBatchKMeans
+
+    n, d = X.shape
+    Xf = np.ascontiguousarray(X, dtype=np.float32)
+    nlist = int(min(max(64, 2 * np.sqrt(n)), n // 32))
+    rng = np.random.default_rng(seed)
+    sample = rng.choice(n, size=min(n, 200_000), replace=False)
+    km = MiniBatchKMeans(
+        n_clusters=nlist, random_state=seed, n_init=1, init="random",
+        batch_size=4096, max_iter=100,
+    ).fit(Xf[sample])
+    C = km.cluster_centers_.astype(np.float32)  # (nlist, d)
+    c_sq = (C * C).sum(axis=1)
+
+    nprobe = min(nprobe, nlist)
+    probes = np.empty((n, nprobe), dtype=np.int32)
+    blk = max(1, 64_000_000 // max(1, nlist))
+    for s in range(0, n, blk):
+        # squared-distance ranking only needs -2*x.c + |c|^2
+        D = c_sq[None, :] - 2.0 * (Xf[s:s + blk] @ C.T)
+        part = np.argpartition(D, nprobe - 1, axis=1)[:, :nprobe]
+        # exact order within the probe set (primary list first)
+        sub = np.take_along_axis(D, part, axis=1)
+        probes[s:s + blk] = np.take_along_axis(
+            part, np.argsort(sub, axis=1, kind="stable"), axis=1
+        )
+
+    primary = probes[:, 0].astype(np.int64)
+    order = np.argsort(primary, kind="stable")
+    counts = np.bincount(primary, minlength=nlist)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+
+    # invert the probe table: queries per list
+    q_order = np.argsort(probes.ravel(), kind="stable")
+    q_ids = q_order // nprobe
+    q_counts = np.bincount(probes.ravel(), minlength=nlist)
+    q_starts = np.concatenate([[0], np.cumsum(q_counts)])
+
+    x_sq = (Xf * Xf).sum(axis=1)
+    best_d = np.full((n, k), np.inf, dtype=np.float32)
+    best_i = np.full((n, k), -1, dtype=np.int64)
+    for L in range(nlist):
+        m = order[starts[L]:starts[L + 1]]          # members of list L
+        q = q_ids[q_starts[L]:q_starts[L + 1]]      # queries probing L
+        if len(m) == 0 or len(q) == 0:
+            continue
+        # block queries so D stays bounded
+        qblk = max(1, 16_000_000 // max(1, len(m)))
+        for s in range(0, len(q), qblk):
+            qq = q[s:s + qblk]
+            D = x_sq[m][None, :] - 2.0 * (Xf[qq] @ Xf[m].T)
+            kk = min(k, len(m))
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk] \
+                if kk < len(m) else np.tile(np.arange(len(m)), (len(qq), 1))
+            dloc = np.take_along_axis(D, part, axis=1)
+            iloc = m[part]
+            alld = np.concatenate([best_d[qq], dloc], axis=1)
+            alli = np.concatenate([best_i[qq], iloc], axis=1)
+            sel = np.argpartition(alld, k - 1, axis=1)[:, :k]
+            best_d[qq] = np.take_along_axis(alld, sel, axis=1)
+            best_i[qq] = np.take_along_axis(alli, sel, axis=1)
+    # any unfilled slot (tiny lists) degrades to a self edge, which the
+    # graph construction drops (no self loops)
+    self_col = np.arange(n, dtype=np.int64)[:, None]
+    best_i = np.where(best_i < 0, self_col, best_i)
+    return best_i
+
+
+def knn_jaccard_graph(
+    X: np.ndarray, n_neighbors: int, ann_threshold: int = ANN_THRESHOLD
+) -> sp.csr_matrix:
     """Build the Jaccard-weighted undirected kNN graph.
 
     Matches cuGraph semantics: the kNN edge list (self included, as cuML
     returns the query point itself) is treated as an undirected simple
     graph; Jaccard weight of edge (u, v) = |N(u) & N(v)| / |N(u) | N(v)|
     over graph neighborhoods.
-    """
-    from sklearn.neighbors import NearestNeighbors
 
+    Above ``ann_threshold`` points the kNN is IVF-approximate (exact
+    kNN is ~quadratic on CPU at PCA dimensionality; PhenoGraph's
+    Jaccard + Louvain chain is robust to small neighbor perturbations —
+    recall and end-to-end ARI pinned in tests/test_clustering.py).
+    """
     n = X.shape[0]
     k = min(n_neighbors, n)
-    nn = NearestNeighbors(n_neighbors=k).fit(X)
-    _, idx = nn.kneighbors(X)
+    if n > ann_threshold:
+        logger.info(
+            "phenograph kNN: %d points > %d, using IVF approximate search",
+            n, ann_threshold,
+        )
+        idx = _ivf_knn(X, k)
+    else:
+        from sklearn.neighbors import NearestNeighbors
+
+        nn = NearestNeighbors(n_neighbors=k).fit(X)
+        _, idx = nn.kneighbors(X)
 
     rows = np.repeat(np.arange(n), k)
     cols = idx.ravel()
@@ -37,14 +139,22 @@ def knn_jaccard_graph(X: np.ndarray, n_neighbors: int) -> sp.csr_matrix:
     A = ((A + A.T) > 0).astype(np.float64)
     A.setdiag(0)
     A.eliminate_zeros()
+    A.sort_indices()
 
-    # |N(u) & N(v)| for every existing edge: (A @ A) restricted to edges
-    inter = (A @ A).multiply(A)  # csr
+    # |N(u) & N(v)| for every existing edge, edge-wise (O(E*k) sorted
+    # merge in the native core) — NOT (A @ A).multiply(A), which
+    # materializes the full n*k^2 SpGEMM (tens of GB, single-threaded
+    # hours at millions of cells)
+    from .. import native
+
+    Acoo = A.tocoo()
+    inter = native.common_neighbor_counts(
+        A.indptr, A.indices, Acoo.row, Acoo.col
+    ).astype(np.float64)
     deg = np.asarray(A.sum(axis=1)).ravel()
-    inter = inter.tocoo()
-    union = deg[inter.row] + deg[inter.col] - inter.data
-    w = np.where(union > 0, inter.data / np.maximum(union, 1), 0.0)
-    J = sp.coo_matrix((w, (inter.row, inter.col)), shape=(n, n)).tocsr()
+    union = deg[Acoo.row] + deg[Acoo.col] - inter
+    w = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    J = sp.coo_matrix((w, (Acoo.row, Acoo.col)), shape=(n, n)).tocsr()
     # keep zero-jaccard edges out; isolated nodes become singleton clusters
     J.eliminate_zeros()
     return J
@@ -166,7 +276,12 @@ def phenograph(
     """kNN -> Jaccard -> Louvain; clusters sorted by size descending and
     relabeled 0..C-1; clusters with size <= min_size get label -1
     (reference: neighbors.py:44-51)."""
-    J = knn_jaccard_graph(np.asarray(X, dtype=np.float64), n_neighbors)
+    X = np.asarray(X)
+    # exact path computes in float64 (historical parity); the ANN path
+    # works in float32 internally, so skip the 8-byte upcast there
+    if X.shape[0] <= ANN_THRESHOLD:
+        X = X.astype(np.float64)
+    J = knn_jaccard_graph(X, n_neighbors)
     labels = louvain(J, resolution=resolution, seed=seed)
     # sort clusters by size (desc), relabel, drop small ones
     uniq, counts = np.unique(labels, return_counts=True)

@@ -75,8 +75,9 @@ def _build_lib() -> Optional[ctypes.CDLL]:
             raise
         lib.sgt_points_in_polygons.restype = ctypes.c_int64
         lib.sgt_points_in_boxes.restype = ctypes.c_int64
+        lib.sgt_common_neighbor_counts.restype = ctypes.c_int64
         lib.sgt_version.restype = ctypes.c_int
-        assert lib.sgt_version() == 2
+        assert lib.sgt_version() == 3
         _LIB = lib
     except Exception as e:  # pragma: no cover
         logger.warning("native core unavailable (%s); NumPy fallback", e)
@@ -193,6 +194,56 @@ def points_in_boxes(
         if count <= capacity:
             return out_pt[:count].copy(), out_box[:count].copy()
         capacity = count + 1024
+
+
+def common_neighbor_counts(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    eu: np.ndarray,
+    ev: np.ndarray,
+) -> np.ndarray:
+    """Per-edge common-neighbor counts |N(u) & N(v)| of an undirected
+    simple graph in CSR form (row indices must be sorted).
+
+    The PhenoGraph Jaccard stage's hot op (replaces the full
+    ``(A @ A).multiply(A)`` SpGEMM, which is O(n*k^2) memory).  Native:
+    OpenMP sorted-merge per edge.  Fallback: chunked padded-broadcast
+    intersection in NumPy.
+    """
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    eu = np.ascontiguousarray(eu, dtype=np.int64)
+    ev = np.ascontiguousarray(ev, dtype=np.int64)
+    out = np.zeros(len(eu), dtype=np.int64)
+    if len(eu) == 0:
+        return out
+    lib = _build_lib()
+    if lib is not None:
+        lib.sgt_common_neighbor_counts(
+            _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int64),
+            _ptr(eu, ctypes.c_int64), _ptr(ev, ctypes.c_int64),
+            ctypes.c_int64(len(eu)), _ptr(out, ctypes.c_int64),
+        )
+        return out
+    # NumPy fallback: pad rows to max degree with sentinel values that
+    # can never match between the two sides (-1 vs -2), then count
+    # pairwise equalities per edge in bounded chunks.
+    deg = np.diff(indptr)
+    kmax = int(deg.max()) if len(deg) else 0
+    n = len(deg)
+    pad = np.full((n, kmax), -1, dtype=np.int64)
+    rows = np.repeat(np.arange(n), deg)
+    offs = np.arange(len(indices)) - np.repeat(indptr[:-1], deg)
+    pad[rows, offs] = indices
+    chunk = max(1, 4_000_000 // max(1, kmax * kmax))
+    for s in range(0, len(eu), chunk):
+        u = pad[eu[s:s + chunk]]
+        v = pad[ev[s:s + chunk]].copy()
+        v[v < 0] = -2
+        out[s:s + chunk] = (
+            (u[:, :, None] == v[:, None, :]).sum(axis=(1, 2))
+        )
+    return out
 
 
 def morton_codes(points: np.ndarray) -> np.ndarray:

@@ -249,13 +249,19 @@ def score_candidates(
     2-D grid sharded predict paths, and bench.py — assignment semantics
     live in exactly one place.
     """
-    g = csr_gather(bd_feats, cand)
-    num = jnp.einsum("nf,nkf->nk", emb_tx, g)
-    ntx = jnp.sqrt(
+    # normalize BEFORE the gather: row norms cost O(n_bd*F) + O(n_tx*F)
+    # there, vs re-reading the gathered (n_tx, K, F) tensor a second
+    # time for its norms (the gather output is the biggest tensor in
+    # the predict step; its HBM traffic dominates)
+    bdn = bd_feats * jax.lax.rsqrt(
+        jnp.maximum((bd_feats * bd_feats).sum(-1, keepdims=True), 1e-16)
+    )
+    txn = emb_tx * jax.lax.rsqrt(
         jnp.maximum((emb_tx * emb_tx).sum(-1, keepdims=True), 1e-16)
     )
-    ng = jnp.sqrt(jnp.maximum((g * g).sum(-1), 1e-16))
-    max_sim, arg = csr_max(num / (ntx * ng), cand)
+    g = csr_gather(bdn, cand)
+    cos = jnp.einsum("nf,nkf->nk", txn, g)
+    max_sim, arg = csr_max(cos, cand)
     seg = jnp.where(
         arg >= 0, row_gather_1d(bd_index, jnp.maximum(arg, 0)), -1
     )
