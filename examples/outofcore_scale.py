@@ -45,15 +45,23 @@ def _pipeline_cfg(args):
 
 
 def phase_prepare(args, out_dir, spool, timer):
-    """CPU-only host build: generate + features + graph, cached to
-    graph.npz.  No jax backend is touched, so no accelerator is held
-    idle through the (long) host stage."""
+    """CPU-only host build: generate + features + graph, cached to a
+    memmappable graph plane (one .npy per field + tile edge indexes).
+    No jax backend is touched, so no accelerator is held idle through
+    the (long) host stage."""
     import numpy as np
 
-    from segger_tpu.data.assemble import save_host_graph
+    from segger_tpu.data.assemble import save_host_graph_plane
     from segger_tpu.data.synthetic import make_synthetic_columnar
     from segger_tpu.pipeline import ISTPipeline
     from segger_tpu.utils import peak_rss_gb
+    from segger_tpu.utils_profiling import (
+        AnonRSSSampler, StageTimer, set_substage_timer,
+    )
+
+    sub = StageTimer()
+    set_substage_timer(sub)
+    anon = AnonRSSSampler().start()
 
     with timer.stage("generate"):
         synth = make_synthetic_columnar(
@@ -78,18 +86,21 @@ def phase_prepare(args, out_dir, spool, timer):
         flush=True,
     )
     with timer.stage("save_graph"):
-        save_host_graph(g, os.path.join(out_dir, "graph.npz"))
+        save_host_graph_plane(g, os.path.join(out_dir, "plane"))
         np.save(
             os.path.join(out_dir, "gene_names.npy"),
             pipeline.adata.var.index.to_numpy().astype(str),
         )
+    set_substage_timer(None)
     with open(os.path.join(out_dir, "prepare.json"), "w") as f:
         json.dump(
             {
                 "n_transcripts": int(n_tx),
                 "n_cells": int(args.n_cells),
                 "stages": timer.summary(),
+                "substages": sub.summary(),
                 "peak_rss_gb": round(peak_rss_gb(), 2),
+                "peak_rss_anon_gb": round(anon.stop(), 2),
             },
             f, indent=2,
         )
@@ -108,7 +119,9 @@ def phase_run(args, out_dir, spool, timer):
     import numpy as np
     import pandas as pd
 
-    from segger_tpu.data.assemble import load_host_graph
+    from segger_tpu.data.assemble import (
+        load_host_graph, load_host_graph_plane,
+    )
     from segger_tpu.data.partition import (
         build_tiling, make_fit_tiles, make_predict_tiles,
     )
@@ -116,9 +129,17 @@ def phase_run(args, out_dir, spool, timer):
     from segger_tpu.metrics import segmentation_report
     from segger_tpu.train.trainer import SeggerTrainer, TrainConfig
     from segger_tpu.utils import peak_rss_gb
+    from segger_tpu.utils_profiling import AnonRSSSampler
 
+    anon = AnonRSSSampler().start()
     with timer.stage("load_graph"):
-        g = load_host_graph(os.path.join(out_dir, "graph.npz"))
+        plane = os.path.join(out_dir, "plane")
+        if os.path.isdir(plane):
+            # memmapped plane: edge arrays + tile indexes page from
+            # disk, never resident in anonymous RAM (sublinear-RSS run)
+            g = load_host_graph_plane(plane, mmap=not args.no_mmap)
+        else:
+            g = load_host_graph(os.path.join(out_dir, "graph.npz"))
         gene_names = np.load(os.path.join(out_dir, "gene_names.npy"),
                              allow_pickle=False)
         tree = build_tiling(g, nodes_per_tile=args.tile_nodes)
@@ -193,6 +214,10 @@ def phase_run(args, out_dir, spool, timer):
         },
         "eval_sample": int(n_eval),
         "run_peak_rss_gb": round(peak_rss_gb(), 2),
+        "run_peak_rss_anon_gb": round(anon.stop(), 2),
+        "graph_plane": "memmapped" if os.path.isdir(
+            os.path.join(out_dir, "plane")) and not args.no_mmap
+        else "in-RAM",
         "device": str(jax.devices()[0]),
         "dtype": args.dtype,
         "epochs": args.epochs,
@@ -217,6 +242,9 @@ def main():
     ap.add_argument("--spool", default=None)
     ap.add_argument("--phase", default="all",
                     choices=["all", "prepare", "run"])
+    ap.add_argument("--no-mmap", action="store_true",
+                    help="load the graph plane fully into RAM "
+                         "(RSS-comparison control)")
     ap.add_argument("--eval-sample", type=int, default=2_000_000,
                     help="transcripts sampled for the quality report")
     ap.add_argument("--dtype", default="bfloat16",

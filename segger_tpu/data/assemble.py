@@ -280,10 +280,13 @@ def build_host_graph_columnar(
     bd_index = adata.obs[tx_f.cell_encoding].to_numpy(np.int64)
     bd_cell_id = adata.obs.index.to_numpy().astype(str)
 
-    tt_src, tt_dst = transcripts_graph(
-        tx_pos, max_k=transcripts_graph_max_k,
-        max_dist=transcripts_graph_max_dist,
-    )
+    from ..utils_profiling import substage
+
+    with substage("graph.tx_knn", items=tx_pos.shape[0]):
+        tt_src, tt_dst = transcripts_graph(
+            tx_pos, max_k=transcripts_graph_max_k,
+            max_dist=transcripts_graph_max_dist,
+        )
     sg_src, sg_dst = segmentation_graph(tx_cell_encoding, seg_mask)
 
     if prediction_graph_mode in ("cell", "nucleus"):
@@ -299,18 +302,21 @@ def build_host_graph_columnar(
             if p is not None:
                 poly_list.append(np.asarray(p))
                 poly_rows.append(row)
-        cand_src, cand_poly = prediction_graph(
-            tx_pos, bd_pos, mode=prediction_graph_mode,
-            max_k=prediction_graph_max_k,
-            buffer_ratio=prediction_graph_buffer_ratio,
-            polygons=poly_list,
-        )
+        with substage("graph.prediction", items=tx_pos.shape[0]):
+            cand_src, cand_poly = prediction_graph(
+                tx_pos, bd_pos, mode=prediction_graph_mode,
+                max_k=prediction_graph_max_k,
+                buffer_ratio=prediction_graph_buffer_ratio,
+                polygons=poly_list,
+            )
         poly_rows = np.asarray(poly_rows, dtype=np.int64)
         cand_dst = poly_rows[cand_poly]
     else:
-        cand_src, cand_dst = prediction_graph(
-            tx_pos, bd_pos, mode="uniform", max_k=prediction_graph_max_k,
-        )
+        with substage("graph.prediction", items=tx_pos.shape[0]):
+            cand_src, cand_dst = prediction_graph(
+                tx_pos, bd_pos, mode="uniform",
+                max_k=prediction_graph_max_k,
+            )
 
     gene_embedding = np.asarray(adata.varm["X_corr"], dtype=np.float32)
     tx_similarity = np.asarray(
@@ -363,3 +369,80 @@ def load_host_graph(path) -> HostGraph:
 
     with np.load(path, allow_pickle=False) as z:
         return HostGraph(**{f.name: z[f.name] for f in _fields(HostGraph)})
+
+
+def save_host_graph_plane(
+    graph: HostGraph, dir_path, with_edge_groups: bool = True
+) -> None:
+    """Persist a HostGraph as a *memmappable plane*: one uncompressed
+    ``.npy`` per field in a directory (``np.savez`` members cannot be
+    memmapped), plus the three per-edge-type tile indexes
+    (stable-argsort ``order`` + ``indptr``, the
+    :class:`segger_tpu.data.partition._EdgeGroups` arrays) computed once
+    here on the prepare host.
+
+    With :func:`load_host_graph_plane(..., mmap=True)` the run phase
+    holds no O(E) arrays in anonymous RAM: edge arrays and their tile
+    indexes are paged from disk per tile, which is what makes run-phase
+    memory sublinear in transcripts (the 600M design-point obligation —
+    reference scale note: src/segger/data/utils/neighbors.py:159).
+    """
+    import os
+    from dataclasses import fields as _fields
+
+    os.makedirs(dir_path, exist_ok=True)
+    for f in _fields(HostGraph):
+        np.save(
+            os.path.join(dir_path, f.name + ".npy"),
+            np.ascontiguousarray(np.asarray(getattr(graph, f.name))),
+        )
+    if with_edge_groups:
+        for name, key, n_keys in (
+            ("tt", graph.tt_dst, graph.n_tx),
+            ("sg", graph.sg_dst, graph.n_bd),
+            ("cand", graph.cand_src, graph.n_tx),
+        ):
+            order = np.argsort(key, kind="stable")
+            counts = np.bincount(key, minlength=n_keys)
+            indptr = np.concatenate(
+                [np.zeros(1, np.int64), np.cumsum(counts)]
+            )
+            np.save(os.path.join(dir_path, f"_eg_{name}_order.npy"), order)
+            np.save(
+                os.path.join(dir_path, f"_eg_{name}_indptr.npy"), indptr
+            )
+
+
+def load_host_graph_plane(dir_path, mmap: bool = True) -> HostGraph:
+    """Load a :func:`save_host_graph_plane` directory.
+
+    ``mmap=True`` maps every array read-only from disk (touched pages
+    are reclaimable page cache, not anonymous RAM) and pre-seeds the
+    tile edge-group index from the plane so the run phase never
+    materializes O(E) working sets.  The graph is also flagged for
+    transient tile-edge extraction (see partition._tile_edges).
+    """
+    import os
+    from dataclasses import fields as _fields
+
+    mode = "r" if mmap else None
+
+    def _ld(name):
+        return np.load(
+            os.path.join(dir_path, name + ".npy"),
+            mmap_mode=mode, allow_pickle=False,
+        )
+
+    g = HostGraph(**{f.name: _ld(f.name) for f in _fields(HostGraph)})
+    if os.path.exists(os.path.join(dir_path, "_eg_tt_order.npy")):
+        from .partition import _EdgeGroups
+
+        g.__dict__["_edge_groups_cache"] = {
+            name: _EdgeGroups.from_arrays(
+                _ld(f"_eg_{name}_order"), _ld(f"_eg_{name}_indptr")
+            )
+            for name in ("tt", "sg", "cand")
+        }
+    if mmap:
+        g.__dict__["_transient_tile_edges"] = True
+    return g

@@ -37,7 +37,10 @@ def _ivf_knn(X: np.ndarray, k: int, seed: int = 0, nprobe: int = 8) -> np.ndarra
 
     n, d = X.shape
     Xf = np.ascontiguousarray(X, dtype=np.float32)
-    nlist = int(min(max(64, 2 * np.sqrt(n)), n // 32))
+    # clamp: 2*sqrt(n) lists, but never more than n//32 (so lists stay
+    # usefully populated) and never fewer than 1 (n//32 is 0 for n < 32
+    # when a caller forces the ANN path via a tiny ann_threshold)
+    nlist = int(np.clip(2 * np.sqrt(n), 1, max(1, n // 32)))
     rng = np.random.default_rng(seed)
     sample = rng.choice(n, size=min(n, 200_000), replace=False)
     km = MiniBatchKMeans(
@@ -102,7 +105,8 @@ def _ivf_knn(X: np.ndarray, k: int, seed: int = 0, nprobe: int = 8) -> np.ndarra
 
 
 def knn_jaccard_graph(
-    X: np.ndarray, n_neighbors: int, ann_threshold: int = ANN_THRESHOLD
+    X: np.ndarray, n_neighbors: int, ann_threshold: int = ANN_THRESHOLD,
+    seed: int = 0,
 ) -> sp.csr_matrix:
     """Build the Jaccard-weighted undirected kNN graph.
 
@@ -116,6 +120,8 @@ def knn_jaccard_graph(
     Jaccard + Louvain chain is robust to small neighbor perturbations —
     recall and end-to-end ARI pinned in tests/test_clustering.py).
     """
+    from ..utils_profiling import substage
+
     n = X.shape[0]
     k = min(n_neighbors, n)
     if n > ann_threshold:
@@ -123,12 +129,14 @@ def knn_jaccard_graph(
             "phenograph kNN: %d points > %d, using IVF approximate search",
             n, ann_threshold,
         )
-        idx = _ivf_knn(X, k)
+        with substage("phenograph.knn", items=n):
+            idx = _ivf_knn(X, k, seed=seed)
     else:
         from sklearn.neighbors import NearestNeighbors
 
-        nn = NearestNeighbors(n_neighbors=k).fit(X)
-        _, idx = nn.kneighbors(X)
+        with substage("phenograph.knn", items=n):
+            nn = NearestNeighbors(n_neighbors=k).fit(X)
+            _, idx = nn.kneighbors(X)
 
     rows = np.repeat(np.arange(n), k)
     cols = idx.ravel()
@@ -147,16 +155,18 @@ def knn_jaccard_graph(
     # hours at millions of cells)
     from .. import native
 
-    Acoo = A.tocoo()
-    inter = native.common_neighbor_counts(
-        A.indptr, A.indices, Acoo.row, Acoo.col
-    ).astype(np.float64)
-    deg = np.asarray(A.sum(axis=1)).ravel()
-    union = deg[Acoo.row] + deg[Acoo.col] - inter
-    w = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-    J = sp.coo_matrix((w, (Acoo.row, Acoo.col)), shape=(n, n)).tocsr()
-    # keep zero-jaccard edges out; isolated nodes become singleton clusters
-    J.eliminate_zeros()
+    with substage("phenograph.jaccard", items=A.nnz):
+        Acoo = A.tocoo()
+        inter = native.common_neighbor_counts(
+            A.indptr, A.indices, Acoo.row, Acoo.col
+        ).astype(np.float64)
+        deg = np.asarray(A.sum(axis=1)).ravel()
+        union = deg[Acoo.row] + deg[Acoo.col] - inter
+        w = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        J = sp.coo_matrix((w, (Acoo.row, Acoo.col)), shape=(n, n)).tocsr()
+        # keep zero-jaccard edges out; isolated nodes become singleton
+        # clusters
+        J.eliminate_zeros()
     return J
 
 
@@ -272,17 +282,28 @@ def phenograph(
     resolution: float = 1.0,
     min_size: int = -1,
     seed: int = 0,
+    ann_threshold: int = ANN_THRESHOLD,
 ) -> np.ndarray:
     """kNN -> Jaccard -> Louvain; clusters sorted by size descending and
     relabeled 0..C-1; clusters with size <= min_size get label -1
-    (reference: neighbors.py:44-51)."""
+    (reference: neighbors.py:44-51).
+
+    ``ann_threshold``: point count above which the kNN stage switches to
+    the IVF approximate search (pass ``np.inf``-like large values to
+    force exact).  The float64-upcast decision follows the same value so
+    the exact path keeps its historical-parity dtype.
+    """
+    from ..utils_profiling import substage
+
     X = np.asarray(X)
     # exact path computes in float64 (historical parity); the ANN path
     # works in float32 internally, so skip the 8-byte upcast there
-    if X.shape[0] <= ANN_THRESHOLD:
+    if X.shape[0] <= ann_threshold:
         X = X.astype(np.float64)
-    J = knn_jaccard_graph(X, n_neighbors)
-    labels = louvain(J, resolution=resolution, seed=seed)
+    J = knn_jaccard_graph(X, n_neighbors, ann_threshold=ann_threshold,
+                          seed=seed)
+    with substage("phenograph.louvain", items=J.shape[0]):
+        labels = louvain(J, resolution=resolution, seed=seed)
     # sort clusters by size (desc), relabel, drop small ones
     uniq, counts = np.unique(labels, return_counts=True)
     order = np.argsort(-counts, kind="stable")

@@ -257,6 +257,17 @@ class _EdgeGroups:
             [np.zeros(1, np.int64), np.cumsum(counts)]
         )
 
+    @classmethod
+    def from_arrays(cls, order: np.ndarray, indptr: np.ndarray):
+        """Wrap precomputed (possibly disk-memmapped) index arrays —
+        the graph-plane load path (data/assemble.py
+        save_host_graph_plane) builds these once at prepare time so the
+        run phase never argsorts O(E) in RAM."""
+        self = cls.__new__(cls)
+        self.order = order
+        self.indptr = indptr
+        return self
+
     def rows(self, nodes: np.ndarray) -> np.ndarray:
         """Edge rows whose key is in ``nodes`` (grouped by node)."""
         starts = self.indptr[nodes]
@@ -298,25 +309,46 @@ def _tile_edges(graph: HostGraph, spec: TileSpec):
     if cached is not None:
         return cached
     eg = _edge_groups(graph)
-    tx_map = np.full(graph.n_tx, -1, np.int64)
-    tx_map[spec.tx_rows] = np.arange(spec.tx_rows.size)
-    bd_map = np.full(graph.n_bd, -1, np.int64)
-    bd_map[spec.bd_rows] = np.arange(spec.bd_rows.size)
+    # persistent global->local scratch maps: rewriting only the tile's
+    # rows (and resetting them after) is O(N_tile) per call instead of
+    # the O(N_graph) np.full churn that dominated whole-slide batch prep
+    scratch = graph.__dict__.get("_tile_map_scratch")
+    if scratch is None:
+        import threading
+
+        scratch = (np.full(graph.n_tx, -1, np.int64),
+                   np.full(graph.n_bd, -1, np.int64),
+                   threading.Lock())
+        graph.__dict__["_tile_map_scratch"] = scratch
+    tx_map, bd_map, lock = scratch
 
     def sel(rows_idx, src, dst, smap, dmap):
+        # rows_idx is globally ascending (spec rows are sorted and the
+        # stable per-key order preserves original edge order), so plane
+        # reads stay page-sequential
         s = smap[src[rows_idx]]
         d = dmap[dst[rows_idx]]
         keep = (s >= 0) & (d >= 0)
         return s[keep], d[keep]
 
-    tt_s, tt_d = sel(eg["tt"].rows(spec.tx_rows),
-                     graph.tt_src, graph.tt_dst, tx_map, tx_map)
-    sg_s, sg_d = sel(eg["sg"].rows(spec.bd_rows),
-                     graph.sg_src, graph.sg_dst, tx_map, bd_map)
-    ca_s, ca_d = sel(eg["cand"].rows(spec.tx_rows),
-                     graph.cand_src, graph.cand_dst, tx_map, bd_map)
+    with lock:
+        tx_map[spec.tx_rows] = np.arange(spec.tx_rows.size)
+        bd_map[spec.bd_rows] = np.arange(spec.bd_rows.size)
+        tt_s, tt_d = sel(eg["tt"].rows(spec.tx_rows),
+                         graph.tt_src, graph.tt_dst, tx_map, tx_map)
+        sg_s, sg_d = sel(eg["sg"].rows(spec.bd_rows),
+                         graph.sg_src, graph.sg_dst, tx_map, bd_map)
+        ca_s, ca_d = sel(eg["cand"].rows(spec.tx_rows),
+                         graph.cand_src, graph.cand_dst, tx_map, bd_map)
+        tx_map[spec.tx_rows] = -1
+        bd_map[spec.bd_rows] = -1
     edges = (tt_s, tt_d, sg_s, sg_d, ca_s, ca_d)
-    spec._edges = edges
+    if not graph.__dict__.get("_transient_tile_edges", False):
+        # default: cache on the spec (per-epoch re-planning revisits
+        # every spec).  Out-of-core runs set the flag so edges for all
+        # tiles are never resident at once — tile_bucket + extract_tile
+        # each recompute O(E_tile) instead of pinning O(E_graph) RAM.
+        spec._edges = edges
     return edges
 
 

@@ -156,11 +156,14 @@ class ISTPipeline:
             morphology_props=morph,
             seed=cfg.seed,
         )
+        from .utils_profiling import substage
+
         if columnar:
             from .data.columnar import anndata_from_columnar
             from .data.features import setup_features_from_anndata
 
-            ad0 = anndata_from_columnar(tx, mask=seg_mask)
+            with substage("features.count_matrix", items=tx.n):
+                ad0 = anndata_from_columnar(tx, mask=seg_mask)
             self.adata = setup_features_from_anndata(ad0, **feature_kwargs)
         else:
             self.adata = setup_features(

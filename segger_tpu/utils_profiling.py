@@ -87,6 +87,82 @@ class StageTimer:
         Path(path).write_text(json.dumps(self.summary(), indent=2))
 
 
+# ----------------------------------------------------------------------
+# library-internal sub-stage hook: long host stages (phenograph kNN /
+# Jaccard / Louvain, tx-graph kNN, prediction graph) report into a
+# process-global StageTimer when one is installed, so whole-slide run
+# artifacts can attribute "features+graph" wall-clock per stage without
+# threading a timer through every signature.
+_SUBSTAGES: Optional[StageTimer] = None
+
+
+def set_substage_timer(timer: Optional[StageTimer]) -> Optional[StageTimer]:
+    """Install (or clear, with None) the global sub-stage timer.
+    Returns the previous one so callers can restore it."""
+    global _SUBSTAGES
+    prev = _SUBSTAGES
+    _SUBSTAGES = timer
+    return prev
+
+
+@contextlib.contextmanager
+def substage(name: str, items: float = 0.0):
+    """Record a library-internal stage into the installed sub-stage
+    timer; no-op (zero overhead beyond one global read) when none is."""
+    t = _SUBSTAGES
+    if t is None:
+        yield
+    else:
+        with t.stage(name, items=items):
+            yield
+
+
+class AnonRSSSampler:
+    """Samples RssAnon (anonymous resident memory, /proc/self/status) on
+    a daemon thread and keeps the high-water mark.
+
+    ``ru_maxrss`` counts *mapped file pages* too — on a memmapped graph
+    plane those are reclaimable page cache, so the anonymous high-water
+    is the honest "the process actually needs this much RAM" number.
+    Linux keeps no kernel high-water for RssAnon, hence the sampler.
+    """
+
+    def __init__(self, interval: float = 0.25):
+        import threading
+
+        self.interval = interval
+        self.peak_gb = 0.0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def read_gb() -> float:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("RssAnon:"):
+                        return int(line.split()[1]) / 1024.0 / 1024.0
+        except OSError:
+            pass
+        return 0.0
+
+    def _run(self):
+        while not self._stop.is_set():
+            self.peak_gb = max(self.peak_gb, self.read_gb())
+            self._stop.wait(self.interval)
+
+    def start(self):
+        self.peak_gb = self.read_gb()
+        self._thread.start()
+        return self
+
+    def stop(self) -> float:
+        self._stop.set()
+        self._thread.join(timeout=5)
+        self.peak_gb = max(self.peak_gb, self.read_gb())
+        return self.peak_gb
+
+
 def device_memory_stats() -> Optional[dict]:
     """Per-device memory stats when the backend exposes them."""
     import jax
