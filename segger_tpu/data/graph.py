@@ -85,6 +85,18 @@ class TileGraph:
     tt_n_lo: int = struct.field(pytree_node=False, default=0)
     tt_k_lo: int = struct.field(pytree_node=False, default=0)
 
+    # third (extra-low) degree bucket nested inside the lo region: rows
+    # [0, tt_n_xlo) additionally have in-degree <= tt_k_xlo (< tt_k_lo),
+    # and the edge stage runs an even narrower kernel there — with kNN
+    # max_dist truncation a large fraction of rows sit at deg <= 4, so
+    # this cuts gather rows (the measured per-layer floor) again for one
+    # extra kernel launch.  tt_n_xlo == 0 disables; requires tt_n_lo > 0
+    # and tt_n_xlo <= tt_n_lo.  When enabled, tt_lo_t covers only the
+    # middle segment rows [tt_n_xlo, tt_n_lo).
+    tt_xlo_t: Optional[PaddedCSR] = None
+    tt_n_xlo: int = struct.field(pytree_node=False, default=0)
+    tt_k_xlo: int = struct.field(pytree_node=False, default=0)
+
     # True for halo-sharded tiles (parallel/halo.py): the CSR source
     # indices and the tt_t/tb_t transpose tables address the *extended*
     # node space [local | halo-from-left | halo-from-right] delivered by

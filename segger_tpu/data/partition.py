@@ -209,6 +209,11 @@ def _round_up(x: int, m: int, minimum: int = 0) -> int:
 # <= K_LO are sorted first so the fused kernel skips the high-degree
 # tail's padding (see apply_degree_bucketing)
 DEGREE_BUCKET_K_LO = 8
+# width of the third (extra-low) bucket nested inside the lo region:
+# rows with in-degree <= K_XLO lead and run through a K=4 kernel,
+# halving their gather rows again (the forward is gather-row-rate
+# bound; docs/design.md §2 "remaining levers (b)")
+DEGREE_BUCKET_K_XLO = 4
 
 
 @dataclass(frozen=True)
@@ -228,6 +233,11 @@ class BucketShape:
     k_lo: int = 0
     k_lo_t: int = 4   # transpose width of the lo sub-table
     k_hi_t: int = 4   # transpose width of the hi sub-table
+    # third bucket nested in the lo region: rows [0, n_xlo) have
+    # in-degree <= k_xlo.  Merges by MIN like n_lo; 0 disables.
+    n_xlo: int = 0
+    k_xlo: int = 0
+    k_xlo_t: int = 4  # transpose width of the xlo sub-table
 
 
 def _subselect_edges(src, dst, tx_map, bd_map=None):
@@ -370,6 +380,7 @@ def tile_bucket(
     # THIS tile's full lo set, which contains any smaller merged lo
     # region, so it is safe under the min-merge.
     k_lo = DEGREE_BUCKET_K_LO
+    k_xlo = DEGREE_BUCKET_K_XLO
     n_tx_local = spec.tx_rows.size
     if tt_d.size:
         degs = np.bincount(tt_d, minlength=n_tx_local)
@@ -377,9 +388,15 @@ def tile_bucket(
         n_lo = int(lo_rows.sum()) // 8 * 8
         lo_edges = lo_rows[tt_d]
         k_lo_t = _round_up(deg(tt_s[lo_edges], n_tx_local), 4)
+        xlo_rows = degs <= k_xlo
+        n_xlo = int(xlo_rows.sum()) // 8 * 8
+        xlo_edges = xlo_rows[tt_d]
+        k_xlo_t = _round_up(deg(tt_s[xlo_edges], n_tx_local), 4)
     else:
         n_lo = n_tx_local // 8 * 8
         k_lo_t = 4
+        n_xlo = n_lo
+        k_xlo_t = 4
 
     return BucketShape(
         n_tx=_round_up(n_tx_local, round_tx),
@@ -404,6 +421,12 @@ def tile_bucket(
         # the hi region, growing hi out-degrees — k_tt_t is the safe
         # width for the hi sub-table transpose
         k_hi_t=_round_up(deg(tt_s, n_tx_local), 4),
+        n_xlo=n_xlo,
+        k_xlo=k_xlo,
+        # k_xlo_t is computed against THIS tile's full xlo set; any
+        # smaller merged xlo prefix is a subset, so the width is safe
+        # under the min-merge (same argument as k_lo_t)
+        k_xlo_t=k_xlo_t,
     )
 
 
@@ -418,6 +441,8 @@ def merge_buckets(shapes: Sequence[BucketShape]) -> BucketShape:
     n_tx = max(s.n_tx for s in shapes)
     n_lo = min(s.n_lo for s in shapes)
     k_lo = max(s.k_lo for s in shapes)
+    n_xlo = min(s.n_xlo for s in shapes)
+    k_xlo = max(s.k_xlo for s in shapes)
     # quantize the merged boundary down to a coarse grid: rounding down
     # is always valid (a smaller lo region just demotes rows to the
     # full-width kernel), and coarse values let independently-merged
@@ -427,6 +452,12 @@ def merge_buckets(shapes: Sequence[BucketShape]) -> BucketShape:
     n_lo = (n_lo // q) * q
     if k_tt <= k_lo or n_lo < n_tx // 4:
         n_lo = k_lo = 0
+    # the xlo bucket nests inside lo: disabled with it, clamped to it,
+    # and dropped when its population is too small to pay for the third
+    # kernel launch per layer/direction
+    n_xlo = min((n_xlo // q) * q, n_lo)
+    if n_lo == 0 or k_lo <= k_xlo or n_xlo < n_tx // 4:
+        n_xlo = k_xlo = 0
     return BucketShape(
         n_tx=n_tx,
         n_bd=max(s.n_bd for s in shapes),
@@ -440,6 +471,9 @@ def merge_buckets(shapes: Sequence[BucketShape]) -> BucketShape:
         k_lo=k_lo,
         k_lo_t=max(s.k_lo_t for s in shapes),
         k_hi_t=max(s.k_hi_t for s in shapes),
+        n_xlo=n_xlo,
+        k_xlo=k_xlo,
+        k_xlo_t=max(s.k_xlo_t for s in shapes),
     )
 
 
@@ -566,6 +600,8 @@ def extract_tile(
             tile, n_lo=bucket.n_lo, k_lo=bucket.k_lo,
             k_lo_t=bucket.k_lo_t, k_hi_t=bucket.k_hi_t,
             k_tt_t=bucket.k_tt_t,
+            n_xlo=bucket.n_xlo, k_xlo=bucket.k_xlo,
+            k_xlo_t=bucket.k_xlo_t,
         )
     return tile
 
@@ -574,6 +610,8 @@ def apply_degree_bucketing(
     tile: TileGraph, n_lo: int, k_lo: int = DEGREE_BUCKET_K_LO,
     k_lo_t: Optional[int] = None, k_hi_t: Optional[int] = None,
     k_tt_t: Optional[int] = None,
+    n_xlo: int = 0, k_xlo: int = DEGREE_BUCKET_K_XLO,
+    k_xlo_t: Optional[int] = None,
 ) -> TileGraph:
     """Reorder a NumPy tile's tx rows so low-tt-in-degree rows lead.
 
@@ -607,7 +645,25 @@ def apply_degree_bucketing(
             f"degree-bucket boundary n_lo={n_lo} exceeds the tile's "
             f"{n_lo_avail} rows with in-degree <= {k_lo}"
         )
-    perm = np.argsort(is_hi, kind="stable")
+    xlo = n_xlo > 0 and 0 < k_xlo < k_lo
+    if xlo:
+        # three classes, stable: xlo (deg <= k_xlo) < lo (<= k_lo) < hi
+        is_xlo = (deg <= k_xlo) & valid
+        n_xlo_avail = int(is_xlo.sum())
+        if n_xlo > n_xlo_avail:
+            raise ValueError(
+                f"degree-bucket boundary n_xlo={n_xlo} exceeds the "
+                f"tile's {n_xlo_avail} rows with in-degree <= {k_xlo}"
+            )
+        if n_xlo > n_lo:
+            raise ValueError(
+                f"n_xlo={n_xlo} must not exceed n_lo={n_lo}"
+            )
+        cls = np.where(is_xlo, 0, np.where(is_hi, 2, 1))
+        perm = np.argsort(cls, kind="stable")
+    else:
+        n_xlo = k_xlo = 0
+        perm = np.argsort(is_hi, kind="stable")
     inv = np.empty(n_tx, np.int64)
     inv[perm] = np.arange(n_tx)
     inv32 = inv.astype(np.int32)
@@ -616,12 +672,22 @@ def apply_degree_bucketing(
         return inv32[np.asarray(a)]
 
     tt = PaddedCSR(idx=remap(idx)[perm], mask=mask[perm])
-    tt_lo = PaddedCSR(idx=tt.idx[:n_lo, :k_lo], mask=tt.mask[:n_lo, :k_lo])
+    tt_xlo = PaddedCSR(
+        idx=tt.idx[:n_xlo, :max(k_xlo, 1)],
+        mask=tt.mask[:n_xlo, :max(k_xlo, 1)],
+    )
+    # with the xlo bucket enabled the lo sub-table covers only the
+    # middle segment [n_xlo, n_lo); its rows are what the lo kernel runs
+    tt_lo = PaddedCSR(
+        idx=tt.idx[n_xlo:n_lo, :k_lo], mask=tt.mask[n_xlo:n_lo, :k_lo]
+    )
     tt_hi = PaddedCSR(idx=tt.idx[n_lo:], mask=tt.mask[n_lo:])
-    # the lo region only holds rows with deg <= k_lo, and
+    # each region only holds rows with deg <= its width, and
     # coo_to_padded_csr packs edges into the leading slots, so the
-    # column slice drops no edges
-    assert np.asarray(tile.tt.mask)[perm][:n_lo, k_lo:].sum() == 0
+    # column slices drop no edges
+    assert np.asarray(tile.tt.mask)[perm][n_xlo:n_lo, k_lo:].sum() == 0
+    if xlo:
+        assert np.asarray(tile.tt.mask)[perm][:n_xlo, k_xlo:].sum() == 0
 
     cand = PaddedCSR(
         idx=np.asarray(tile.cand.idx)[perm],
@@ -635,6 +701,10 @@ def apply_degree_bucketing(
         kw["tt_t"] = transpose_csr(tt, n_src=n_tx, k=w)
         kw["tt_lo_t"] = transpose_csr(tt_lo, n_src=n_tx, k=k_lo_t)
         kw["tt_hi_t"] = transpose_csr(tt_hi, n_src=n_tx, k=k_hi_t)
+        if xlo:
+            kw["tt_xlo_t"] = transpose_csr(
+                tt_xlo, n_src=n_tx, k=k_xlo_t
+            )
     if tile.tb_t is not None:
         # tb rows are bd (unpermuted) and tb slot layout is unchanged,
         # so the flat positions stand; only the src-keyed row order moves
@@ -664,6 +734,8 @@ def apply_degree_bucketing(
         sg_src=remap(tile.sg_src),
         tt_n_lo=n_lo,
         tt_k_lo=k_lo,
+        tt_n_xlo=n_xlo,
+        tt_k_xlo=k_xlo,
         **kw,
     )
 
@@ -733,6 +805,19 @@ def empty_tile(
                 ),
                 tt_n_lo=bucket.n_lo,
                 tt_k_lo=bucket.k_lo,
+                **(
+                    dict(
+                        tt_xlo_t=PaddedCSR(
+                            idx=z((bucket.n_tx, bucket.k_xlo_t),
+                                  np.int32),
+                            mask=z((bucket.n_tx, bucket.k_xlo_t), bool),
+                        ),
+                        tt_n_xlo=bucket.n_xlo,
+                        tt_k_xlo=bucket.k_xlo,
+                    )
+                    if bucket.n_xlo > 0
+                    else {}
+                ),
             )
             if bucket.n_lo > 0
             else {}

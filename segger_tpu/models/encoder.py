@@ -135,7 +135,17 @@ class HeteroGATLayer(nn.Module):
             and tile.tt_lo_t is not None
             and tile.tt_hi_t is not None
         ):
-            split = (tile.tt_n_lo, tile.tt_k_lo, tile.tt_lo_t, tile.tt_hi_t)
+            # narrow-kernel segments (row ranges + widths + transpose
+            # tables), then the full-width tail from tt_n_lo
+            if tile.tt_n_xlo > 0 and tile.tt_xlo_t is not None:
+                segs = (
+                    (0, tile.tt_n_xlo, tile.tt_k_xlo, tile.tt_xlo_t),
+                    (tile.tt_n_xlo, tile.tt_n_lo, tile.tt_k_lo,
+                     tile.tt_lo_t),
+                )
+            else:
+                segs = ((0, tile.tt_n_lo, tile.tt_k_lo, tile.tt_lo_t),)
+            split = (segs, tile.tt_n_lo, tile.tt_hi_t)
         out_tx = conv_tt(
             x_tx_src, x_tx, tile.tt, deterministic,
             csr_t=tile.tt_t if use_t else None,

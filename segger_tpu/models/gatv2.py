@@ -141,33 +141,41 @@ class GATv2Conv(nn.Module):
                     cfg = (h, self.negative_slope, interp)
 
                 if split is not None and postgather.supported(csr, h * c, h):
-                    n_lo, k_lo, csr_lo_t, csr_hi_t = split
-                    csr_lo = PaddedCSR(
-                        idx=csr.idx[:n_lo, :k_lo],
-                        mask=csr.mask[:n_lo, :k_lo],
-                    )
+                    # split = (segments, n_tail_start, csr_hi_t):
+                    # narrow kernels over the leading degree-bucketed
+                    # row segments (each (start, stop, k, csr_t)), one
+                    # full-width kernel on the tail
+                    segs, n_tail, csr_hi_t = split
+                    outs = []
+                    for si, (a, b, kseg, csr_seg_t) in enumerate(segs):
+                        csr_seg = PaddedCSR(
+                            idx=csr.idx[a:b, :kseg],
+                            mask=csr.mask[a:b, :kseg],
+                        )
+                        keep_seg = (
+                            postgather.prng_dropout_seed(
+                                jax.random.fold_in(rng, 1 + si)
+                            )
+                            if dropout_on else keep  # (1,1,H) sentinel
+                        )
+                        outs.append(postgather.gatv2_edge_stage_pallas(
+                            xl, xr[a:b], att[0], keep_seg,
+                            csr_seg, csr_seg_t, cfg,
+                        ))
                     csr_hi = PaddedCSR(
-                        idx=csr.idx[n_lo:], mask=csr.mask[n_lo:]
+                        idx=csr.idx[n_tail:], mask=csr.mask[n_tail:]
                     )
-                    if dropout_on:
-                        # decorrelate the two sub-stages' streams
-                        keep_lo = postgather.prng_dropout_seed(
-                            jax.random.fold_in(rng, 1)
+                    keep_hi = (
+                        postgather.prng_dropout_seed(
+                            jax.random.fold_in(rng, 1 + len(segs))
                         )
-                        keep_hi = postgather.prng_dropout_seed(
-                            jax.random.fold_in(rng, 2)
-                        )
-                    else:
-                        keep_lo = keep_hi = keep  # (1,1,H) sentinel
-                    out_lo = postgather.gatv2_edge_stage_pallas(
-                        xl, xr[:n_lo], att[0], keep_lo,
-                        csr_lo, csr_lo_t, cfg,
+                        if dropout_on else keep
                     )
-                    out_hi = postgather.gatv2_edge_stage_pallas(
-                        xl, xr[n_lo:], att[0], keep_hi,
+                    outs.append(postgather.gatv2_edge_stage_pallas(
+                        xl, xr[n_tail:], att[0], keep_hi,
                         csr_hi, csr_hi_t, cfg,
-                    )
-                    return jnp.concatenate([out_lo, out_hi], axis=0) + bias
+                    ))
+                    return jnp.concatenate(outs, axis=0) + bias
 
                 if postgather.supported(csr, h * c, h):
                     out = postgather.gatv2_edge_stage_pallas(
