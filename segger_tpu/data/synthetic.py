@@ -247,6 +247,59 @@ def write_merscope_like(directory, data: "SyntheticData") -> Path:
     return directory
 
 
+def write_merscope_like_columnar(
+    directory, data: "SyntheticColumnar", chunk_rows: int = 4_000_000
+) -> Path:
+    """Raw Vizgen MERSCOPE-style directory from a columnar synthetic
+    slide, streamed in chunks (no whole-slide DataFrame) — the
+    whole-slide analogue of :func:`write_merscope_like`."""
+    from ..io.fields import (
+        MerscopeTranscriptFields,
+        MerscopeBoundaryFields,
+    )
+
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    raw_t, raw_b = MerscopeTranscriptFields(), MerscopeBoundaryFields()
+    bd_f = StandardBoundaryFields()
+
+    cols = data.transcripts
+    gene_names = np.asarray(cols.gene_names).astype(str)
+    cell_ids = np.asarray(cols.cell_ids).astype(str)
+    path = directory / raw_t.filename
+    n = cols.n
+    for s in range(0, n, chunk_rows):
+        e = min(s + chunk_rows, n)
+        cc = np.asarray(cols.cell_code[s:e])
+        chunk = pd.DataFrame(
+            {
+                raw_t.x: np.asarray(cols.x[s:e]),
+                raw_t.y: np.asarray(cols.y[s:e]),
+                raw_t.feature: gene_names[np.asarray(cols.gene_code[s:e])],
+                raw_t.cell_id: np.where(
+                    cc >= 0, cell_ids[np.maximum(cc, 0)], "-1"
+                ),
+            }
+        )
+        chunk.to_csv(path, index=False, mode="w" if s == 0 else "a",
+                     header=(s == 0))
+
+    for fname, btype in (
+        (raw_b.cell_filename, bd_f.cell_value),
+        (raw_b.nucleus_filename, bd_f.nucleus_value),
+    ):
+        ids, blobs = [], []
+        for (cid, bt), poly in data.polygons.items():
+            if bt != btype:
+                continue
+            ids.append(cid)
+            blobs.append(_polygon_to_wkb(poly))
+        pd.DataFrame({raw_b.id: ids, "Geometry": blobs}).to_parquet(
+            directory / fname, index=False
+        )
+    return directory
+
+
 def write_synthetic_dataset(
     directory, seed: int = 0, **kwargs
 ) -> "SyntheticData":
