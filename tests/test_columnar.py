@@ -143,3 +143,63 @@ def test_pipeline_columnar_matches_dataframe(synth, cfg):
             getattr(a, name), getattr(b, name), rtol=1e-6, atol=1e-7,
             err_msg=name,
         )
+
+
+def test_graph_plane_roundtrip_and_transient_tiles(synth, tmp_path):
+    """save_host_graph_plane -> load_host_graph_plane(mmap=True) is
+    lossless, pre-seeds the tile edge-group index, and extracts tiles
+    identical to the in-RAM graph under transient (no-spec-cache)
+    mode."""
+    from dataclasses import fields as _fields
+
+    import jax
+
+    from segger_tpu.data.assemble import (
+        HostGraph, load_host_graph_plane, save_host_graph_plane,
+    )
+    from segger_tpu.data.partition import (
+        build_tiling, extract_tile, make_fit_tiles, merge_buckets,
+        tile_bucket,
+    )
+
+    p = ISTPipeline(
+        synth.transcripts, synth.boundaries, synth.polygons,
+        PipelineConfig(
+            cells_embedding_size=16, genes_min_counts=5,
+            cells_min_counts=3, tiling_nodes_per_tile=600,
+        ),
+    )
+    p.load()
+    g = p.graph
+
+    d = tmp_path / "plane"
+    save_host_graph_plane(g, d)
+    gm = load_host_graph_plane(d, mmap=True)
+    assert gm.__dict__.get("_transient_tile_edges") is True
+    assert "_edge_groups_cache" in gm.__dict__
+    for f in _fields(HostGraph):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(gm, f.name)),
+            np.asarray(getattr(g, f.name)),
+            err_msg=f.name,
+        )
+
+    # tiles extracted off the memmapped plane == in-RAM tiles
+    tree = build_tiling(g, nodes_per_tile=600)
+    tree_m = build_tiling(gm, nodes_per_tile=600)
+    specs = make_fit_tiles(g, tree, margin=5.0)
+    specs_m = make_fit_tiles(gm, tree_m, margin=5.0)
+    assert len(specs) == len(specs_m) >= 2
+    bucket = merge_buckets([tile_bucket(g, s) for s in specs])
+    bucket_m = merge_buckets([tile_bucket(gm, s) for s in specs_m])
+    assert bucket == bucket_m
+    for s, sm in zip(specs, specs_m):
+        # transient mode: nothing cached on the memmapped graph's specs
+        assert getattr(sm, "_edges", None) is None
+        ta = extract_tile(g, s, bucket)
+        tb = extract_tile(gm, sm, bucket_m)
+        for la, lb in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
+            np.testing.assert_array_equal(
+                np.asarray(la), np.asarray(lb)
+            )
+        assert getattr(sm, "_edges", None) is None
