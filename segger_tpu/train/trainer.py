@@ -440,7 +440,11 @@ class SeggerTrainer:
         if not train_tiles:
             train_tiles = list(fit_tiles)
 
-        val_batches = self.make_batches(val_tiles, shuffle=False)
+        # val plans are static; batches are rebuilt per epoch through
+        # the bounded tile cache rather than materialized eagerly —
+        # holding every padded val tile for the whole run is O(n_tiles)
+        # host RAM (a ~10 GB resident at the 105M-transcript scale)
+        val_plans = self._batch_plans(val_tiles, shuffle=False)
 
         if self.params is None:
             probe = self.make_batches(train_tiles[:1], shuffle=False)[0]
@@ -520,9 +524,15 @@ class SeggerTrainer:
                 "train:loss_bd": float(np.mean([r[2] for r in ep_loss])),
                 "train:loss_sg": float(np.mean([r[3] for r in ep_loss])),
             }
-            if val_batches:
+            if val_plans:
+                from .prefetch import PrefetchIterator
+
                 vl = []
-                for batch in val_batches:
+                use_cache = epoch < max_epochs - 1
+                for batch in PrefetchIterator(
+                    val_plans,
+                    lambda p: self._build_batch(p, cache=use_cache),
+                ):
                     key, sub = jax.random.split(key)
                     batch = self._device_put(batch)
                     loss, aux = self._eval_step(
