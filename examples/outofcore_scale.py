@@ -129,8 +129,12 @@ def phase_run(args, out_dir, spool, timer):
     from segger_tpu.metrics import segmentation_report
     from segger_tpu.train.trainer import SeggerTrainer, TrainConfig
     from segger_tpu.utils import peak_rss_gb
-    from segger_tpu.utils_profiling import AnonRSSSampler
+    from segger_tpu.utils_profiling import (
+        AnonRSSSampler, StageTimer, set_substage_timer,
+    )
 
+    sub = StageTimer()
+    set_substage_timer(sub)
     anon = AnonRSSSampler().start()
     with timer.stage("load_graph"):
         plane = os.path.join(out_dir, "plane")
@@ -206,8 +210,11 @@ def phase_run(args, out_dir, spool, timer):
         "path": "columnar out-of-core (disk-spooled transcript plane; "
                 "phased: CPU prepare -> accelerator run)",
         "prepare_stages": prep.get("stages", {}),
+        "prepare_substages": prep.get("substages", {}),
         "prepare_peak_rss_gb": prep.get("peak_rss_gb"),
+        "prepare_peak_rss_anon_gb": prep.get("peak_rss_anon_gb"),
         "run_stages": timer.summary(),
+        "run_substages": sub.summary(),
         "quality_on_sample": {
             k: round(v, 4) if isinstance(v, float) else v
             for k, v in report.items()

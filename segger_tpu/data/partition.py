@@ -319,18 +319,24 @@ def _tile_edges(graph: HostGraph, spec: TileSpec):
     if cached is not None:
         return cached
     eg = _edge_groups(graph)
-    # persistent global->local scratch maps: rewriting only the tile's
-    # rows (and resetting them after) is O(N_tile) per call instead of
-    # the O(N_graph) np.full churn that dominated whole-slide batch prep
+    # persistent THREAD-LOCAL global->local scratch maps: rewriting only
+    # the tile's rows (and resetting them after) is O(N_tile) per call
+    # instead of the O(N_graph) np.full churn that dominated whole-slide
+    # batch prep; per-thread maps let batch planning and prefetch
+    # extraction run tiles concurrently (int32: one map pair is
+    # 4(N_tx+N_bd) bytes per participating thread)
     scratch = graph.__dict__.get("_tile_map_scratch")
     if scratch is None:
         import threading
 
-        scratch = (np.full(graph.n_tx, -1, np.int64),
-                   np.full(graph.n_bd, -1, np.int64),
-                   threading.Lock())
+        scratch = threading.local()
         graph.__dict__["_tile_map_scratch"] = scratch
-    tx_map, bd_map, lock = scratch
+    if not hasattr(scratch, "maps"):
+        scratch.maps = (np.full(graph.n_tx, -1, np.int32),
+                        np.full(graph.n_bd, -1, np.int32))
+    tx_map, bd_map = scratch.maps
+    tx_map[spec.tx_rows] = np.arange(spec.tx_rows.size, dtype=np.int32)
+    bd_map[spec.bd_rows] = np.arange(spec.bd_rows.size, dtype=np.int32)
 
     def sel(rows_idx, src, dst, smap, dmap):
         # rows_idx is globally ascending (spec rows are sorted and the
@@ -341,17 +347,14 @@ def _tile_edges(graph: HostGraph, spec: TileSpec):
         keep = (s >= 0) & (d >= 0)
         return s[keep], d[keep]
 
-    with lock:
-        tx_map[spec.tx_rows] = np.arange(spec.tx_rows.size)
-        bd_map[spec.bd_rows] = np.arange(spec.bd_rows.size)
-        tt_s, tt_d = sel(eg["tt"].rows(spec.tx_rows),
-                         graph.tt_src, graph.tt_dst, tx_map, tx_map)
-        sg_s, sg_d = sel(eg["sg"].rows(spec.bd_rows),
-                         graph.sg_src, graph.sg_dst, tx_map, bd_map)
-        ca_s, ca_d = sel(eg["cand"].rows(spec.tx_rows),
-                         graph.cand_src, graph.cand_dst, tx_map, bd_map)
-        tx_map[spec.tx_rows] = -1
-        bd_map[spec.bd_rows] = -1
+    tt_s, tt_d = sel(eg["tt"].rows(spec.tx_rows),
+                     graph.tt_src, graph.tt_dst, tx_map, tx_map)
+    sg_s, sg_d = sel(eg["sg"].rows(spec.bd_rows),
+                     graph.sg_src, graph.sg_dst, tx_map, bd_map)
+    ca_s, ca_d = sel(eg["cand"].rows(spec.tx_rows),
+                     graph.cand_src, graph.cand_dst, tx_map, bd_map)
+    tx_map[spec.tx_rows] = -1
+    bd_map[spec.bd_rows] = -1
     edges = (tt_s, tt_d, sg_s, sg_d, ca_s, ca_d)
     if not graph.__dict__.get("_transient_tile_edges", False):
         # default: cache on the spec (per-epoch re-planning revisits

@@ -311,12 +311,33 @@ class SeggerTrainer:
         )
         kwargs = {"rng": rng} if shuffle else {}
         bins = packer(values, self.cfg.edges_per_batch, **kwargs)
+        # bucket shapes for every tile up front, thread-parallel: at
+        # whole-slide scale tile_bucket dominates planning (O(E_tile)
+        # edge recompute per spec on the out-of-core plane), and the
+        # scratch maps in _tile_edges are thread-local
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..utils_profiling import substage
+
+        with substage("plan.tile_bucket", items=len(tiles)):
+            if len(tiles) >= 64:
+                import os as _os
+
+                with ThreadPoolExecutor(
+                    max_workers=min(4, _os.cpu_count() or 1)
+                ) as ex:
+                    all_shapes = list(
+                        ex.map(lambda s: tile_bucket(self.graph, s),
+                               tiles)
+                    )
+            else:
+                all_shapes = [tile_bucket(self.graph, s) for s in tiles]
         plans = []
         m = self.cfg.tiles_per_step
         per_bin = []
         for bin_idx in bins:
             specs = [tiles[i] for i in bin_idx]
-            shapes = [tile_bucket(self.graph, s) for s in specs]
+            shapes = [all_shapes[i] for i in bin_idx]
             per_bin.append((specs, merge_buckets(shapes)))
         if self.cfg.shape_merge == "global" and per_bin:
             # one padded shape for the whole pass -> one compiled
@@ -340,15 +361,19 @@ class SeggerTrainer:
         (the predict path: every tile visited exactly once) still reads
         hits but never inserts, so single-use extractions don't pin
         host RAM for zero reuse."""
+        from ..utils_profiling import substage
+
         if self.cfg.tile_cache_gb <= 0:
-            return extract_tile(self.graph, spec, bucket)
+            with substage("extract.tile"):
+                return extract_tile(self.graph, spec, bucket)
         import dataclasses
 
         k = (id(spec), dataclasses.astuple(bucket))
         hit = self._tile_cache.get(k)
         if hit is not None:
             return hit[1]
-        t = extract_tile(self.graph, spec, bucket)
+        with substage("extract.tile"):
+            t = extract_tile(self.graph, spec, bucket)
         if not cache:
             return t
         nb = sum(
