@@ -53,11 +53,46 @@ def main():
         ms, seg = score_candidates(etx, ebd, cand, tile.bd_index)
         return ms.sum() + seg.sum() * 1e-9
 
+    # ---- candidate levers (r5: close the predict <= fwd + 0.5 ms gap)
+    from segger_tpu.ops import PaddedCSR, coo_to_padded_csr
+    from segger_tpu.ops.padded_csr import padded_csr_to_coo
+
+    # exact-width table: bench pads the K=3 candidate graph to K=4, so
+    # 25% of the row-rate-bound gather rows are padding
+    ca_d, ca_s = padded_csr_to_coo(
+        jax.tree.map(np.asarray, cand)
+    )
+    cand_k3 = jax.tree.map(
+        jnp.asarray, coo_to_padded_csr(ca_d, ca_s, n_dst=n_tx, k=3)
+    )
+    emb_tx16 = emb_tx.astype(jnp.bfloat16)
+    emb_bd16 = emb_bd.astype(jnp.bfloat16)
+
+    def full_k3(etx, ebd):
+        ms, seg = score_candidates(etx, ebd, cand_k3, tile.bd_index)
+        return ms.sum() + seg.sum() * 1e-9
+
+    def full_bf16(etx, ebd):
+        ms, seg = score_candidates(
+            etx.astype(jnp.bfloat16), ebd.astype(jnp.bfloat16),
+            cand, tile.bd_index,
+        )
+        return ms.sum() + seg.sum() * 1e-9
+
+    def full_bf16_k3(etx, ebd):
+        ms, seg = score_candidates(
+            etx.astype(jnp.bfloat16), ebd.astype(jnp.bfloat16),
+            cand_k3, tile.bd_index,
+        )
+        return ms.sum() + seg.sum() * 1e-9
+
     N = 100
     floor = _round_trip_floor_ms(N)
     res = {"floor_ms": round(floor, 4)}
     for name, fn in [("gather", gather_only), ("score", score_only),
-                     ("full", full)]:
+                     ("full", full), ("full_k3", full_k3),
+                     ("full_bf16", full_bf16),
+                     ("full_bf16_k3", full_bf16_k3)]:
         @jax.jit
         def chain(etx, ebd, fn=fn):
             def body(i, carry):
