@@ -113,8 +113,20 @@ def add_segment_parser(sub):
     p.add_argument("--low-memory", action="store_true",
                    help="Stream transcripts into a disk-spooled "
                         "columnar table instead of a whole-slide "
-                        "DataFrame (bounded host RSS for 50M+ "
+                        "DataFrame, predict via the streaming "
+                        "max-merge path, and write with categorical "
+                        "cell ids (bounded host RSS for 50M+ "
                         "transcript slides; skips the h5ad export)")
+    p.add_argument("--graph-cache", default=None, metavar="DIR",
+                   help="Cache the whole-slide graph as a memmappable "
+                        "plane in DIR: when present it is loaded "
+                        "(memmapped, skipping the host build — edge "
+                        "arrays page from disk); otherwise it is "
+                        "written after the build.  Enables phased "
+                        "prepare-on-CPU / run-on-accelerator workflows")
+    p.add_argument("--prepare-only", action="store_true",
+                   help="Build features + graph (+ --graph-cache) and "
+                        "exit before touching any accelerator")
     _registry().add_arguments(p)
     p.set_defaults(func=run_segment)
     return p
@@ -138,24 +150,56 @@ def run_segment(args) -> int:
             json.dump({**pipe_kwargs, **train_kwargs}, f, indent=2,
                       default=str)
 
-    pp_kwargs = (
-        {"nucleus_strategy": args.nucleus_strategy}
-        if args.nucleus_strategy != "vendor" else {}
-    )
-    pp = get_preprocessor(args.input_directory, platform=args.platform,
-                          **pp_kwargs)
-    bd, polys = pp.boundaries
-    cfg = PipelineConfig(**pipe_kwargs)
-    if args.low_memory:
-        from ..data.columnar import ColumnarTranscripts
+    import numpy as np
 
-        tx = ColumnarTranscripts.from_chunks(
-            pp.iter_transcripts(), spool=out_dir / "transcripts_spool"
+    cfg = PipelineConfig(**pipe_kwargs)
+    cache = Path(args.graph_cache) if args.graph_cache else None
+    pipeline = None
+    if cache is not None and (cache / "plane" / "tx_gene.npy").exists():
+        # phased run: reuse the cached memmapped graph plane — edge
+        # arrays and tile indexes page from disk, no host rebuild
+        from ..data.assemble import load_host_graph_plane
+        from ..data.partition import build_tiling
+
+        graph = load_host_graph_plane(cache / "plane")
+        gene_names = np.load(cache / "gene_names.npy",
+                             allow_pickle=False)
+        tree = build_tiling(
+            graph, nodes_per_tile=cfg.tiling_nodes_per_tile,
+            mode=cfg.tiling_mode, side_length=cfg.tiling_side_length,
         )
     else:
-        tx = pp.transcripts
-    pipeline = ISTPipeline(tx, bd, polys, cfg)
-    pipeline.load()
+        pp_kwargs = (
+            {"nucleus_strategy": args.nucleus_strategy}
+            if args.nucleus_strategy != "vendor" else {}
+        )
+        pp = get_preprocessor(
+            args.input_directory, platform=args.platform, **pp_kwargs
+        )
+        bd, polys = pp.boundaries
+        if args.low_memory:
+            from ..data.columnar import ColumnarTranscripts
+
+            tx = ColumnarTranscripts.from_chunks(
+                pp.iter_transcripts(),
+                spool=out_dir / "transcripts_spool",
+            )
+        else:
+            tx = pp.transcripts
+        pipeline = ISTPipeline(tx, bd, polys, cfg)
+        pipeline.load()
+        graph, tree = pipeline.graph, pipeline.tree
+        gene_names = pipeline.adata.var.index.to_numpy().astype(str)
+        if cache is not None:
+            from ..data.assemble import save_host_graph_plane
+
+            cache.mkdir(parents=True, exist_ok=True)
+            save_host_graph_plane(graph, cache / "plane")
+            np.save(cache / "gene_names.npy", gene_names)
+    if args.prepare_only:
+        print(f"Graph prepared"
+              + (f"; cached to {cache}" if cache is not None else ""))
+        return 0
 
     mesh = None
     import jax
@@ -167,7 +211,7 @@ def run_segment(args) -> int:
         mesh = make_mesh(n_dev)
 
     trainer = SeggerTrainer(
-        pipeline.graph, TrainConfig(**train_kwargs), mesh=mesh
+        graph, TrainConfig(**train_kwargs), mesh=mesh
     )
     grid = None
     if args.grid:
@@ -177,8 +221,7 @@ def run_segment(args) -> int:
         trainer.fit_whole_slide(mesh, grid=grid)
     else:
         fit_tiles = make_fit_tiles(
-            pipeline.graph, pipeline.tree,
-            margin=cfg.tiling_margin_training,
+            graph, tree, margin=cfg.tiling_margin_training,
         )
         trainer.fit(fit_tiles)
 
@@ -195,27 +238,47 @@ def run_segment(args) -> int:
             trainer.opt_state,
             config={**pipe_kwargs, **train_kwargs},
         )
-        pipeline.adata.write_h5ad(debug_dir / "adata_debug.h5ad")
+        if pipeline is not None:
+            pipeline.adata.write_h5ad(debug_dir / "adata_debug.h5ad")
 
-    if args.distributed_predict:
-        predictions = trainer.predict_whole_slide(mesh, grid=grid)
-    else:
-        predict_tiles = make_predict_tiles(
-            pipeline.graph, pipeline.tree,
-            margin=cfg.tiling_margin_prediction,
-        )
-        predictions = trainer.predict(predict_tiles)
     writer = SegmentationWriter(
         out_dir, save_anndata=not args.no_anndata, debug=args.debug
     )
-    writer.write(
-        predictions,
-        cell_ids=pipeline.graph.bd_cell_id,
-        gene_names=pipeline.adata.var.index.to_numpy().astype(str),
-        # the h5ad export consumes a DataFrame; --low-memory runs skip
-        # it (the assignment parquet is written either way)
-        transcripts=None if args.low_memory else pipeline.transcripts,
-    )
+    if args.low_memory and not args.distributed_predict:
+        # streaming path: online max-merge dedupe into dense
+        # row-addressed arrays (O(n_rows) host memory), categorical
+        # cell ids end-to-end
+        predict_tiles = make_predict_tiles(
+            graph, tree, margin=cfg.tiling_margin_prediction,
+        )
+        best_sim, best_enc = trainer.predict_streaming(predict_tiles)
+        gene_by_row = np.zeros(best_sim.size, np.int32)
+        gene_by_row[graph.tx_index] = graph.tx_gene
+        writer.write_dense(
+            best_sim, best_enc, gene_by_row,
+            cell_ids=graph.bd_cell_id, gene_names=gene_names,
+        )
+    else:
+        if args.distributed_predict:
+            predictions = trainer.predict_whole_slide(mesh, grid=grid)
+        else:
+            predict_tiles = make_predict_tiles(
+                graph, tree, margin=cfg.tiling_margin_prediction,
+            )
+            predictions = trainer.predict(predict_tiles)
+        writer.write(
+            predictions,
+            cell_ids=graph.bd_cell_id,
+            gene_names=gene_names,
+            # the h5ad export consumes a DataFrame; --low-memory and
+            # plane-cached runs skip it (the assignment parquet is
+            # written either way)
+            transcripts=(
+                pipeline.transcripts
+                if pipeline is not None and not args.low_memory
+                else None
+            ),
+        )
     # training history as CSV (CSVLogger analogue, cli/segment.py:394)
     if trainer.history:
         import pandas as pd

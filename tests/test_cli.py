@@ -246,7 +246,44 @@ def test_segment_low_memory_matches_dataframe_path(dataset, tmp_path,
     got = got.sort_values("row_index").reset_index(drop=True)
     want = want.sort_values("row_index").reset_index(drop=True)
     assert len(got) == len(want)
+    # the streaming writer stores cell ids as a pandas categorical
+    # (write_dense); compare values, not dtypes
     assert (
-        got["segger_cell_id"].fillna("")
-        == want["segger_cell_id"].fillna("")
+        got["segger_cell_id"].astype(object).fillna("")
+        == want["segger_cell_id"].astype(object).fillna("")
     ).mean() > 0.999
+
+
+def test_segment_graph_cache_phased(dataset, tmp_path):
+    """--graph-cache + --prepare-only: the host build caches a
+    memmappable graph plane and exits; a second invocation loads the
+    plane (no rebuild) and produces a full segmentation."""
+    cache = tmp_path / "gcache"
+    common = (
+        "--cells-embedding-size", 16,
+        "--cells-min-counts", 5,
+        "--genes-min-counts", 10,
+        "--tiling-nodes-per-tile", 2000,
+        "--tiling-margin-training", 10.0,
+        "--tiling-margin-prediction", 12.0,
+        "--prediction-graph-buffer-ratio", 0.2,
+        "--hidden-channels", 16,
+        "--out-channels", 16,
+        "--n-mid-layers", 0,
+        "--max-epochs", 1,
+    )
+    out1 = tmp_path / "prep_out"
+    r = run_cli("segment", "-i", dataset, "-o", out1,
+                "--graph-cache", cache, "--prepare-only", *common)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (cache / "plane" / "tx_gene.npy").exists()
+    assert (cache / "plane" / "_eg_tt_order.npy").exists()
+    assert not (out1 / "segger_segmentation.parquet").exists()
+
+    out2 = tmp_path / "run_out"
+    r = run_cli("segment", "-i", dataset, "-o", out2,
+                "--graph-cache", cache, "--low-memory", *common)
+    assert r.returncode == 0, r.stderr[-3000:]
+    seg = pd.read_parquet(out2 / "segger_segmentation.parquet")
+    assert len(seg) > 0
+    assert seg["segger_cell_id"].notna().mean() > 0.5
