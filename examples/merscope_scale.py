@@ -74,11 +74,13 @@ def main_lowmem(args):
             n_cells=args.n_cells, n_genes=200,
             mean_tx_per_cell=args.tx_per_cell,
             extent=400.0 * np.sqrt(args.n_cells / 200), seed=0,
-            spool=os.path.join(out_dir, "gen_spool"),
+            spool=os.path.join(args.raw_dir or out_dir, "gen_spool"),
         )
-        raw_dir = write_merscope_like_columnar(
-            f"{out_dir}/raw_merscope", synth
-        )
+        raw_dir = f"{args.raw_dir or out_dir}/raw_merscope"
+        if not os.path.exists(
+            os.path.join(raw_dir, "detected_transcripts.csv")
+        ):
+            raw_dir = write_merscope_like_columnar(raw_dir, synth)
     n_raw = synth.transcripts.n
     print(f"{n_raw} transcripts, {args.n_cells} cells (raw: {raw_dir})",
           flush=True)
@@ -229,6 +231,11 @@ def main():
                          "streaming predict)")
     ap.add_argument("--tx-per-cell", type=int, default=25)
     ap.add_argument("--eval-sample", type=int, default=2_000_000)
+    ap.add_argument("--raw-dir", default=None,
+                    help="directory for the generated raw MERSCOPE "
+                         "files (reused if already present; lets the "
+                         "raw write be staged before an accelerator "
+                         "run)")
     args = ap.parse_args()
 
     if args.low_memory:
