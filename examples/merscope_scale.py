@@ -202,7 +202,24 @@ def main_lowmem(args):
         },
         "eval_sample": int(n_eval),
         "peak_rss_gb": round(peak_rss_gb(), 2),
-        "peak_rss_anon_gb": round(anon.stop(), 2),
+        "peak_rss_anon_gb": round(anon_peak := anon.stop(), 2),
+        # tunneled-backend staging leak accounting
+        # (tools/tunnel_leak_probe.py)
+        "tunnel_transfer": {
+            "bytes_to_device_gb": round(
+                trainer.bytes_to_device / 2**30, 2
+            ),
+            "bytes_to_host_gb": round(trainer.bytes_to_host / 2**30, 2),
+            "est_tunnel_leak_gb": round(
+                (0.94 * trainer.bytes_to_device
+                 + 1.55 * trainer.bytes_to_host) / 2**30, 2
+            ),
+            "anon_minus_est_leak_gb": round(
+                anon_peak
+                - (0.94 * trainer.bytes_to_device
+                   + 1.55 * trainer.bytes_to_host) / 2**30, 2
+            ),
+        },
         "device": str(jax.devices()[0]),
         "epochs": args.epochs,
         "tile_nodes": args.tile_nodes,

@@ -221,7 +221,26 @@ def phase_run(args, out_dir, spool, timer):
         },
         "eval_sample": int(n_eval),
         "run_peak_rss_gb": round(peak_rss_gb(), 2),
-        "run_peak_rss_anon_gb": round(anon.stop(), 2),
+        "run_peak_rss_anon_gb": round(anon_peak := anon.stop(), 2),
+        # this environment's tunneled TPU backend leaks host anon
+        # memory per byte transferred (measured 0.94 B/B to-device,
+        # 1.55 B/B to-host; tools/tunnel_leak_probe.py) — the
+        # framework's own residency is anon minus that staging leak
+        "tunnel_transfer": {
+            "bytes_to_device_gb": round(
+                trainer.bytes_to_device / 2**30, 2
+            ),
+            "bytes_to_host_gb": round(trainer.bytes_to_host / 2**30, 2),
+            "est_tunnel_leak_gb": round(
+                (0.94 * trainer.bytes_to_device
+                 + 1.55 * trainer.bytes_to_host) / 2**30, 2
+            ),
+            "anon_minus_est_leak_gb": round(
+                anon_peak
+                - (0.94 * trainer.bytes_to_device
+                   + 1.55 * trainer.bytes_to_host) / 2**30, 2
+            ),
+        },
         "graph_plane": "memmapped" if os.path.isdir(
             os.path.join(out_dir, "plane")) and not args.no_mmap
         else "in-RAM",

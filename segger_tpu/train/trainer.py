@@ -160,6 +160,12 @@ class SeggerTrainer:
         # epoch-spanning tile-extraction cache (TrainConfig.tile_cache_gb)
         self._tile_cache: Dict = {}
         self._tile_cache_bytes = 0
+        # host<->device transfer byte counters: on this environment's
+        # tunneled TPU backend every transfer leaks host anon memory
+        # ~1:1 with bytes moved (tools/tunnel_leak_probe.py), so run
+        # artifacts separate framework residency from tunnel staging
+        self.bytes_to_device = 0
+        self.bytes_to_host = 0
 
     # ------------------------------------------------------------------
     def init(self, template: TileGraph):
@@ -190,7 +196,14 @@ class SeggerTrainer:
         return params
 
     # ------------------------------------------------------------------
+    def _count_to_device(self, tree):
+        self.bytes_to_device += sum(
+            a.nbytes for a in jax.tree.leaves(tree)
+            if hasattr(a, "nbytes")
+        )
+
     def _device_put(self, batch):
+        self._count_to_device(batch)
         if self.mesh is not None:
             from ..parallel.mesh import shard_tile_batch
 
@@ -653,6 +666,7 @@ class SeggerTrainer:
         return key, ep_loss
 
     def _device_put_scan(self, stacked):
+        self._count_to_device(stacked)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -689,6 +703,10 @@ class SeggerTrainer:
             batch = self._device_put(batch)
             idx, seg, sim, gene, mask = jax.tree.map(
                 np.asarray, self._predict_step(self.params, batch)
+            )
+            self.bytes_to_host += (
+                idx.nbytes + seg.nbytes + sim.nbytes + gene.nbytes
+                + mask.nbytes
             )
             m = mask.ravel()
             out["row_index"].append(idx.ravel()[m])
@@ -736,6 +754,10 @@ class SeggerTrainer:
             batch = self._device_put(batch)
             idx, seg, sim, gene, mask = jax.tree.map(
                 np.asarray, self._predict_step(self.params, batch)
+            )
+            self.bytes_to_host += (
+                idx.nbytes + seg.nbytes + sim.nbytes + gene.nbytes
+                + mask.nbytes
             )
             m = mask.ravel()
             r = idx.ravel()[m].astype(np.int64)
