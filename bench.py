@@ -39,7 +39,8 @@ import time
 import numpy as np
 
 
-def build_tile(n_tx=50_000, n_bd=2_500, n_genes=400, f_bd=128, seed=0):
+def build_tile(n_tx=50_000, n_bd=2_500, n_genes=400, f_bd=128, seed=0,
+               xlo=True):
     import jax
     import jax.numpy as jnp
     from segger_tpu.ops import coo_to_padded_csr, transpose_csr
@@ -138,7 +139,13 @@ def build_tile(n_tx=50_000, n_bd=2_500, n_genes=400, f_bd=128, seed=0):
 
     deg = np.asarray(tile.tt.mask).sum(1)
     n_lo = int((deg <= DEGREE_BUCKET_K_LO).sum()) // 8 * 8
-    n_xlo = int((deg <= DEGREE_BUCKET_K_XLO).sum()) // 8 * 8
+    # the xlo (deg<=4, K=4) bucket is predict/forward-only in
+    # production (its extra transpose grows the backward's row-rate-
+    # bound dxl gather; see trainer._batch_plans) — xlo=False builds
+    # the training-tile variant
+    n_xlo = (
+        int((deg <= DEGREE_BUCKET_K_XLO).sum()) // 8 * 8 if xlo else 0
+    )
     tile = apply_degree_bucketing(tile, n_lo=n_lo, n_xlo=n_xlo)
     return jax.tree.map(jnp.asarray, tile)
 
@@ -313,7 +320,8 @@ def main():
             p, acc = carry
             emb = model.apply(p, tile)
             max_sim, seg = score_candidates(
-                emb["tx"], emb["bd"], tile.cand, tile.bd_index
+                emb["tx"], emb["bd"], tile.cand, tile.bd_index,
+                dtype=jnp.bfloat16,  # production bf16 scoring path
             )
             acc2 = acc + max_sim.sum() + seg.sum() * 1e-9
             return (jax.tree.map(lambda x: x + acc2 * 1e-25, p), acc2)
@@ -369,10 +377,15 @@ def main():
         (p, o), losses = jax.lax.scan(body, (p, o), keys)
         return losses.sum()
 
+    # training tiles ship without the xlo bucket (trainer._batch_plans
+    # use_xlo=False): its third transpose table costs the backward more
+    # than its narrower gather saves the forward (measured +4 ms/step)
+    tile_train = build_tile(xlo=False)
+
     key = jax.random.PRNGKey(1)
     keys = jax.random.split(key, n_chain)
     train_ms = _chained_ms(
-        lambda: train_chain(params, opt_state, tile, keys), n_chain
+        lambda: train_chain(params, opt_state, tile_train, keys), n_chain
     ) - floor_train
 
     # second tile shape (2x transcripts at the same spatial density —

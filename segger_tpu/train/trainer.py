@@ -290,7 +290,13 @@ class SeggerTrainer:
 
             emb = model.apply(params, tile, deterministic=True)
             max_sim, seg = score_candidates(
-                emb["tx"], emb["bd"], tile.cand, tile.bd_index
+                emb["tx"], emb["bd"], tile.cand, tile.bd_index,
+                # bf16 runs score in bf16 (halves the row-rate-bound
+                # candidate gather; cosines still accumulate f32)
+                dtype=(
+                    jnp.bfloat16
+                    if self.cfg.compute_dtype == "bfloat16" else None
+                ),
             )
             mask = tile.tx_interior & tile.tx_valid
             return (tile.tx_index, seg, max_sim, tile.tx_gene, mask)
@@ -307,13 +313,21 @@ class SeggerTrainer:
         tiles: Sequence[TileSpec],
         shuffle: bool,
         rng: Optional[np.random.Generator] = None,
+        use_xlo: bool = False,
     ):
         """Bin-pack tile specs into stacked-batch plans (spec lists +
         merged bucket shapes).
 
         Edge-budget bin-packing doubles as shape bucketing: tiles packed
         into one bin share a merged bucket (SURVEY §7; reference budget
-        semantics sampler.py:292-405)."""
+        semantics sampler.py:292-405).
+
+        ``use_xlo``: enable the third (deg<=4, K=4) degree bucket.
+        Measured on v5e: the xlo split is a FORWARD win (fwd 7.04 ->
+        6.49 ms, predict 8.02 -> 7.38) but a backward LOSS (+4 ms/step:
+        its extra transpose table spans all n_tx source rows, growing
+        the row-rate-bound dxl gather 8 -> 12 slots/row) — so predict
+        plans enable it and training plans do not."""
         if not tiles:
             return []
         values = np.array([max(t.n_edges, 1) for t in tiles])
@@ -348,10 +362,15 @@ class SeggerTrainer:
         plans = []
         m = self.cfg.tiles_per_step
         per_bin = []
+        import dataclasses as _dc
+
         for bin_idx in bins:
             specs = [tiles[i] for i in bin_idx]
             shapes = [all_shapes[i] for i in bin_idx]
-            per_bin.append((specs, merge_buckets(shapes)))
+            bucket = merge_buckets(shapes)
+            if not use_xlo and bucket.n_xlo:
+                bucket = _dc.replace(bucket, n_xlo=0, k_xlo=0)
+            per_bin.append((specs, bucket))
         if self.cfg.shape_merge == "global" and per_bin:
             # one padded shape for the whole pass -> one compiled
             # program per scan depth (compilation dominates whole-slide
@@ -422,13 +441,14 @@ class SeggerTrainer:
         rng: Optional[np.random.Generator] = None,
         prefetch: int = 2,
         cache: bool = True,
+        use_xlo: bool = False,
     ):
         """Stream stacked batches with background-thread extraction
         (overlaps host tile building with device compute — the
         DataLoader-worker analogue, reference data_module.py:346-366)."""
         from .prefetch import PrefetchIterator
 
-        plans = self._batch_plans(tiles, shuffle, rng)
+        plans = self._batch_plans(tiles, shuffle, rng, use_xlo=use_xlo)
         return PrefetchIterator(
             plans, lambda p: self._build_batch(p, cache), depth=prefetch
         )
@@ -696,7 +716,7 @@ class SeggerTrainer:
         if self._predict_step is None:
             self._predict_step = self._build_predict_step()
         batches = self.iter_batches(predict_tiles, shuffle=False,
-                                    cache=False)
+                                    cache=False, use_xlo=True)
         out = {k: [] for k in ("row_index", "cell_encoding",
                                "similarity", "gene")}
         for batch in batches:
@@ -749,7 +769,7 @@ class SeggerTrainer:
             best_sim = np.full(n_rows, -np.inf, np.float32)
             best_enc = np.full(n_rows, -2, np.int32)
         batches = self.iter_batches(predict_tiles, shuffle=False,
-                                    cache=False)
+                                    cache=False, use_xlo=True)
         for batch in batches:
             batch = self._device_put(batch)
             idx, seg, sim, gene, mask = jax.tree.map(

@@ -117,14 +117,16 @@ def make_kernels(prob, interpret=False):
         copy.wait()
         w = win[:].astype(jnp.bfloat16)               # (W, HC)
         flat = idxl_ref[:].reshape(WINDOW)
+        col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, WINDOW), 1)
         for c in range(WINDOW // CHUNK):
-            ids = jax.lax.dynamic_slice_in_dim(flat, c * CHUNK, CHUNK)
-            col = jax.lax.broadcasted_iota(
-                jnp.int32, (CHUNK, WINDOW), 1
-            )
+            # c is a Python int: static slices only (Mosaic has no
+            # dynamic_slice lowering on this toolchain)
+            ids = flat[c * CHUNK:(c + 1) * CHUNK]
             oh = (col == ids[:, None]).astype(jnp.bfloat16)
             g = jnp.dot(oh, w, preferred_element_type=jnp.float32)
-            out_ref[pl.ds(c * CHUNK, CHUNK), :] = g.astype(out_ref.dtype)
+            out_ref[c * CHUNK:(c + 1) * CHUNK, :] = g.astype(
+                out_ref.dtype
+            )
 
     def onehot_gather(xl, lo, local):
         return pl.pallas_call(
