@@ -322,6 +322,7 @@ def main():
             max_sim, seg = score_candidates(
                 emb["tx"], emb["bd"], tile.cand, tile.bd_index,
                 dtype=jnp.bfloat16,  # production bf16 scoring path
+                normalized=True,     # encoder emits unit vectors
             )
             acc2 = acc + max_sim.sum() + seg.sum() * 1e-9
             return (jax.tree.map(lambda x: x + acc2 * 1e-25, p), acc2)

@@ -236,6 +236,7 @@ def score_candidates(
     cand: PaddedCSR,
     bd_index: jnp.ndarray,
     dtype: jnp.dtype | None = None,
+    normalized: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Cosine-score tx->bd candidate edges and take the per-transcript
     argmax assignment — the reference's predict_step similarity +
@@ -261,18 +262,25 @@ def score_candidates(
     if dtype is not None:
         bd_feats = bd_feats.astype(dtype)
         emb_tx = emb_tx.astype(dtype)
-    bd32 = bd_feats.astype(jnp.float32)
-    tx32 = emb_tx.astype(jnp.float32)
-    bdn = (
-        bd32 * jax.lax.rsqrt(
-            jnp.maximum((bd32 * bd32).sum(-1, keepdims=True), 1e-16)
-        )
-    ).astype(bd_feats.dtype)
-    txn = (
-        tx32 * jax.lax.rsqrt(
-            jnp.maximum((tx32 * tx32).sum(-1, keepdims=True), 1e-16)
-        )
-    ).astype(emb_tx.dtype)
+    if normalized:
+        # the encoder's normalize_embeddings already emitted unit
+        # vectors (models/encoder.py safe_normalize): the cosine is the
+        # plain dot product, so the two normalization passes (and
+        # their extra reads of both embedding tables) are skipped
+        bdn, txn = bd_feats, emb_tx
+    else:
+        bd32 = bd_feats.astype(jnp.float32)
+        tx32 = emb_tx.astype(jnp.float32)
+        bdn = (
+            bd32 * jax.lax.rsqrt(
+                jnp.maximum((bd32 * bd32).sum(-1, keepdims=True), 1e-16)
+            )
+        ).astype(bd_feats.dtype)
+        txn = (
+            tx32 * jax.lax.rsqrt(
+                jnp.maximum((tx32 * tx32).sum(-1, keepdims=True), 1e-16)
+            )
+        ).astype(emb_tx.dtype)
     g = csr_gather(bdn, cand)
     cos = jnp.einsum(
         "nf,nkf->nk", txn, g, preferred_element_type=jnp.float32

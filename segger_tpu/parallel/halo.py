@@ -229,7 +229,10 @@ def make_sharded_predict(
         from ..ops import score_candidates
 
         max_sim, seg = score_candidates(
-            emb["tx"], x_bd_ext, tile.cand, halo.bd_index_ext
+            emb["tx"], x_bd_ext, tile.cand, halo.bd_index_ext,
+            # same fast path as the tiled trainer: the encoder already
+            # emits unit vectors when normalize_embeddings is set
+            normalized=model.normalize_embeddings,
         )
         return jax.tree.map(
             lambda x: x[None],

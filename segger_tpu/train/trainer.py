@@ -297,6 +297,7 @@ class SeggerTrainer:
                     jnp.bfloat16
                     if self.cfg.compute_dtype == "bfloat16" else None
                 ),
+                normalized=self.cfg.normalize_embeddings,
             )
             mask = tile.tx_interior & tile.tx_valid
             return (tile.tx_index, seg, max_sim, tile.tx_gene, mask)
