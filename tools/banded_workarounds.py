@@ -117,13 +117,22 @@ def make_kernels(prob, interpret=False):
         copy.wait()
         w = win[:].astype(jnp.bfloat16)               # (W, HC)
         flat = idxl_ref[:].reshape(WINDOW)
-        col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, WINDOW), 1)
+        # small operand pieces (Mosaic's compile helper crashes on the
+        # single (CHUNK, W) one-hot): accumulate over W in PIECE-column
+        # one-hot matmuls; all slices static (c/p are Python ints)
+        PIECE = 512
+        col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, PIECE), 1)
         for c in range(WINDOW // CHUNK):
-            # c is a Python int: static slices only (Mosaic has no
-            # dynamic_slice lowering on this toolchain)
             ids = flat[c * CHUNK:(c + 1) * CHUNK]
-            oh = (col == ids[:, None]).astype(jnp.bfloat16)
-            g = jnp.dot(oh, w, preferred_element_type=jnp.float32)
+            g = jnp.zeros((CHUNK, w.shape[1]), jnp.float32)
+            for p in range(WINDOW // PIECE):
+                oh = (col + (p * PIECE) == ids[:, None]).astype(
+                    jnp.bfloat16
+                )
+                g = g + jnp.dot(
+                    oh, w[p * PIECE:(p + 1) * PIECE],
+                    preferred_element_type=jnp.float32,
+                )
             out_ref[c * CHUNK:(c + 1) * CHUNK, :] = g.astype(
                 out_ref.dtype
             )
