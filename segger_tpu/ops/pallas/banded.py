@@ -28,7 +28,16 @@ banding design itself is verified feasible: strip-major ordering bounds
 every 256-row block's neighbor window to ~1.2k rows at Xenium density,
 zero spill at W=4096.  Revisit on a newer libtpu/Mosaic
 (``tools/banded_retest.py``).  Retest history: jax 0.9.0 / libtpu
-0.0.34 (2026-08-18, re-confirmed 2026-08-19) — still crashes at >=256 rows.
+0.0.34 (2026-08-18, re-confirmed 2026-08-19, 2026-08-20) — still
+crashes at >=256 rows.
+
+WORKAROUNDS MEASURED DEAD (round 5, tools/banded_workarounds.py): a
+per-row async-copy gather runs 33x slower than the XLA gather
+(17.2M vs ~570M rows/s — DMA-descriptor latency); a one-hot-MXU
+in-VMEM gather hits the same Mosaic compile-helper crash at every
+operand size tried; a pltpu.roll butterfly/select network is provably
+incapable of duplicate-gather (interpret-refuted before TPU time).
+There is no path below the XLA gather row rate on this toolchain.
 """
 from __future__ import annotations
 

@@ -37,6 +37,21 @@ honest "what would the banded design cost TODAY without
 tpu.dynamic_gather" answer.  Validated vs NumPy in interpret mode
 (--check); timed with the chained-dispatch harness on the real chip.
 
+MEASURED 2026-08-20 (v5e, jax 0.9.0, 50k-row problem, band 1200):
+
+    xla_gather    1.42 ms   563-579M rows/s  (the production bound)
+    dma_rowcopy   46.6 ms   17.2M rows/s     (33x WORSE — descriptor-
+                                              latency bound, measured
+                                              not assumed)
+    onehot_mxu    BLOCKED — the same Mosaic tpu_compile_helper crash
+                  (HTTP 500) as the banded kernel's dynamic_gather, at
+                  both (512, 4096) and small-piece (512, 512) one-hot
+                  operand shapes; interpret-validated only.
+
+Conclusion: on this toolchain there is NO viable workaround below the
+XLA gather's row rate; the banded design stays blocked on Mosaic fixes
+(tools/banded_retest.py re-checks each toolchain bump).
+
     python tools/banded_workarounds.py --check      # CPU, correctness
     timeout 1500 python tools/banded_workarounds.py  # TPU, timing
 """
