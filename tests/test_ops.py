@@ -237,3 +237,37 @@ def test_row_gather_1d_matches_plain_indexing():
         got = np.asarray(row_gather_1d(jnp.asarray(table),
                                        jnp.asarray(pos)))
         np.testing.assert_array_equal(got, table[pos])
+
+
+def test_score_candidates_fast_paths_match_reference(rng):
+    """The normalized (unit-vector) fast path and the bf16 dtype path
+    must agree with the plain f32 renormalizing path: assignments
+    identical away from near-ties, similarities close."""
+    from segger_tpu.ops import score_candidates
+
+    n_tx, n_bd, f = 600, 50, 32
+    etx = rng.normal(size=(n_tx, f)).astype(np.float32)
+    ebd = rng.normal(size=(n_bd, f)).astype(np.float32)
+    # unit vectors, as the encoder's normalize_embeddings emits
+    etx /= np.linalg.norm(etx, axis=1, keepdims=True)
+    ebd /= np.linalg.norm(ebd, axis=1, keepdims=True)
+    ca_s = np.repeat(np.arange(n_tx), 3)
+    ca_d = rng.integers(0, n_bd, ca_s.size)
+    cand = coo_to_padded_csr(ca_s, ca_d, n_dst=n_tx, k=4)
+    bd_index = np.arange(n_bd, dtype=np.int32) + 7
+
+    args = (jnp.asarray(etx), jnp.asarray(ebd),
+            jax.tree.map(jnp.asarray, cand), jnp.asarray(bd_index))
+    sim0, seg0 = score_candidates(*args)
+    sim1, seg1 = score_candidates(*args, normalized=True)
+    np.testing.assert_allclose(np.asarray(sim1), np.asarray(sim0),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(seg1), np.asarray(seg0))
+
+    sim2, seg2 = score_candidates(*args, dtype=jnp.bfloat16,
+                                  normalized=True)
+    assert np.asarray(sim2).dtype == np.float32  # thresholds need f32
+    np.testing.assert_allclose(np.asarray(sim2), np.asarray(sim0),
+                               atol=2e-2)
+    agree = (np.asarray(seg2) == np.asarray(seg0)).mean()
+    assert agree > 0.97, agree
