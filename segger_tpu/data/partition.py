@@ -605,6 +605,7 @@ def extract_tile(
             k_tt_t=bucket.k_tt_t,
             n_xlo=bucket.n_xlo, k_xlo=bucket.k_xlo,
             k_xlo_t=bucket.k_xlo_t,
+            build_full_transpose=False,
         )
     return tile
 
@@ -615,6 +616,7 @@ def apply_degree_bucketing(
     k_tt_t: Optional[int] = None,
     n_xlo: int = 0, k_xlo: int = DEGREE_BUCKET_K_XLO,
     k_xlo_t: Optional[int] = None,
+    build_full_transpose: bool = True,
 ) -> TileGraph:
     """Reorder a NumPy tile's tx rows so low-tt-in-degree rows lead.
 
@@ -700,8 +702,14 @@ def apply_degree_bucketing(
 
     kw = {}
     if tile.tt_t is not None or k_tt_t is not None:
-        w = k_tt_t if k_tt_t is not None else tile.tt_t.idx.shape[1]
-        kw["tt_t"] = transpose_csr(tt, n_src=n_tx, k=w)
+        if build_full_transpose:
+            w = k_tt_t if k_tt_t is not None else tile.tt_t.idx.shape[1]
+            kw["tt_t"] = transpose_csr(tt, n_src=n_tx, k=w)
+        else:
+            # the split edge stage only reads the per-segment tables;
+            # the full transpose would be built, device-transferred,
+            # and never used (~20% of tile bytes)
+            kw["tt_t"] = None
         kw["tt_lo_t"] = transpose_csr(tt_lo, n_src=n_tx, k=k_lo_t)
         kw["tt_hi_t"] = transpose_csr(tt_hi, n_src=n_tx, k=k_hi_t)
         if xlo:
@@ -784,7 +792,10 @@ def empty_tile(
         sg_src=z(bucket.e_sg, np.int32),
         sg_dst=z(bucket.e_sg, np.int32),
         sg_mask=z(bucket.e_sg, bool),
-        tt_t=PaddedCSR(
+        # bucketed tiles carry no full tt transpose (the split edge
+        # stage uses the per-segment tables); tree structure must match
+        # real tiles for stacking
+        tt_t=None if bucket.n_lo > 0 else PaddedCSR(
             idx=z((bucket.n_tx, bucket.k_tt_t), np.int32),
             mask=z((bucket.n_tx, bucket.k_tt_t), bool),
         ),

@@ -110,11 +110,15 @@ class GATv2Conv(nn.Module):
             xl = lin_l(x_src)  # (N_src, H*C)
         xr = lin_r(x_dst)  # (N_dst, H*C)
 
-        if csr_t is not None and not capture_attention:
+        if (csr_t is not None or split is not None) \
+                and not capture_attention:
             # fused edge stage: Pallas post-gather kernel on TPU,
             # flat-layout XLA path with the hand-derived low-traffic
             # backward elsewhere.  Neither materializes the attention
             # coefficients — pass capture_attention=True to introspect.
+            # Degree-bucketed tiles ship per-segment transpose tables
+            # only (csr_t is None; the full transpose would be dead
+            # weight) — both backends consume the split directly.
             backend = _edge_stage_backend()
             dropout_on = self.dropout > 0.0 and not deterministic
             if backend == "pallas":
@@ -177,24 +181,49 @@ class GATv2Conv(nn.Module):
                     ))
                     return jnp.concatenate(outs, axis=0) + bias
 
-                if postgather.supported(csr, h * c, h):
+                if csr_t is not None and postgather.supported(
+                    csr, h * c, h
+                ):
                     out = postgather.gatv2_edge_stage_pallas(
                         xl, xr, att[0], keep, csr, csr_t, cfg,
                     )
                     return out + bias
 
             # XLA flat-layout path (non-TPU backends / unsupported shapes)
-            if dropout_on:
-                rng = self.make_rng("dropout")
-                keep = jax.random.bernoulli(
-                    rng, 1.0 - self.dropout, (*csr.idx.shape, h)
-                ).astype(xl.dtype) / (1.0 - self.dropout)
-            else:
-                keep = jnp.ones((*csr.idx.shape, h), xl.dtype)
             from ..ops.edge_stage import gatv2_edge_stage_flat
 
+            if dropout_on:
+                rng = self.make_rng("dropout")
+
+            def _flat_keep(shape_csr, salt):
+                if dropout_on:
+                    return jax.random.bernoulli(
+                        jax.random.fold_in(rng, salt),
+                        1.0 - self.dropout, (*shape_csr.idx.shape, h),
+                    ).astype(xl.dtype) / (1.0 - self.dropout)
+                return jnp.ones((*shape_csr.idx.shape, h), xl.dtype)
+
+            if split is not None:
+                segs, n_tail, csr_hi_t = split
+                pieces = list(segs) + [
+                    (n_tail, csr.idx.shape[0], csr.idx.shape[1],
+                     csr_hi_t)
+                ]
+                outs = []
+                for si, (a, b, kseg, csr_seg_t) in enumerate(pieces):
+                    csr_seg = PaddedCSR(
+                        idx=csr.idx[a:b, :kseg],
+                        mask=csr.mask[a:b, :kseg],
+                    )
+                    outs.append(gatv2_edge_stage_flat(
+                        xl, xr[a:b], att[0],
+                        _flat_keep(csr_seg, 1 + si),
+                        csr_seg, csr_seg_t, (h, self.negative_slope),
+                    ))
+                return jnp.concatenate(outs, axis=0) + bias
+
             out = gatv2_edge_stage_flat(
-                xl, xr, att[0], keep, csr, csr_t,
+                xl, xr, att[0], _flat_keep(csr, 0), csr, csr_t,
                 (h, self.negative_slope),
             )
             return out + bias
