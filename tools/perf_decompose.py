@@ -34,7 +34,9 @@ def main():
     from segger_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    tile = build_tile()
+    # the production TRAINING tile: no xlo bucket (predict-only split;
+    # trainer._batch_plans use_xlo semantics)
+    tile = build_tile(xlo=False)
     model = ISTEncoder(
         n_genes=400, in_channels=16, hidden_channels=64, out_channels=64,
         n_mid_layers=2, n_heads=2, dtype=jnp.bfloat16,
