@@ -110,9 +110,25 @@ def main_lowmem(args):
     pipeline = ISTPipeline(cols, bd, polys, cfg)
     with timer.stage("features+graph", items=n_tx):
         pipeline.load()
-    g = pipeline.graph
+    g, tree = pipeline.graph, pipeline.tree
+    gene_names = pipeline.adata.var.index.to_numpy().astype(str)
+    if args.plane:
+        # swap the in-RAM graph for a disk-memmapped plane (the
+        # xenium out-of-core run path): no O(E) anonymous residents
+        # through train/predict
+        from segger_tpu.data.assemble import (
+            load_host_graph_plane, save_host_graph_plane,
+        )
+        from segger_tpu.data.partition import build_tiling
+
+        with timer.stage("save_plane"):
+            save_host_graph_plane(g, os.path.join(out_dir, "plane"))
+        del g, tree
+        pipeline.graph = pipeline.tree = pipeline.adata = None
+        g = load_host_graph_plane(os.path.join(out_dir, "plane"))
+        tree = build_tiling(g, nodes_per_tile=args.tile_nodes)
     print(f"graph: {g.n_tx} tx, {g.n_bd} bd, "
-          f"{pipeline.tree.n_leaves} tiles, rss {peak_rss_gb():.1f} GB",
+          f"{tree.n_leaves} tiles, rss {peak_rss_gb():.1f} GB",
           flush=True)
 
     tc = TrainConfig(
@@ -121,18 +137,17 @@ def main_lowmem(args):
         compute_dtype="bfloat16",
     )
     trainer = SeggerTrainer(g, tc)
-    fit_tiles = make_fit_tiles(g, pipeline.tree, margin=10.0)
+    fit_tiles = make_fit_tiles(g, tree, margin=10.0)
     n_edges = sum(t.n_edges for t in fit_tiles)
     with timer.stage("train", items=n_edges * 4 * args.epochs):
         trainer.fit(fit_tiles)
     print(f"trained, rss {peak_rss_gb():.1f} GB", flush=True)
 
-    predict_tiles = make_predict_tiles(g, pipeline.tree, margin=15.0)
+    predict_tiles = make_predict_tiles(g, tree, margin=15.0)
     with timer.stage("predict", items=n_tx):
         best_sim, best_enc = trainer.predict_streaming(predict_tiles)
     print(f"predicted, rss {peak_rss_gb():.1f} GB", flush=True)
 
-    gene_names = pipeline.adata.var.index.to_numpy().astype(str)
     with timer.stage("write"):
         writer = SegmentationWriter(out_dir, save_anndata=False)
         gene_by_row = np.zeros(best_sim.size, np.int32)
@@ -248,6 +263,11 @@ def main():
                          "streaming predict)")
     ap.add_argument("--tx-per-cell", type=int, default=25)
     ap.add_argument("--eval-sample", type=int, default=2_000_000)
+    ap.add_argument("--plane", action="store_true",
+                    help="swap the in-RAM graph for a disk-memmapped "
+                         "plane after the host build (the xenium "
+                         "out-of-core run path; no O(E) anonymous "
+                         "residents through train/predict)")
     ap.add_argument("--raw-dir", default=None,
                     help="directory for the generated raw MERSCOPE "
                          "files (reused if already present; lets the "
