@@ -230,6 +230,29 @@ def segment_sum(data, segment_ids, num_segments):
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
 
 
+def _score_backend() -> str:
+    """Backend for the candidate-scoring chain.
+
+    'xla'    — the plain jnp chain below (DEFAULT, both backends).
+    'pallas' — fused cosine+max/argmax kernel (ops/pallas/score).
+
+    Measured (v5e, bench tile, 2026-08-20, tools/predict_decompose.py +
+    tools/score_ab.py): standalone — fixed embeddings, scoring chain
+    only — the kernel wins ~0.1 ms (bf16 0.84-0.95 vs 0.93-1.00 across
+    three same-session pairs).  Embedded in the REAL predict chain
+    (forward + scoring, interleaved ABAB) it is a wash: 7.71/7.62 vs
+    7.58/7.61 ms — XLA fuses the all-XLA scoring chain into the final
+    layer's epilogue, and the pallas_call's materialization boundary
+    gives that saving back.  Default stays 'xla' (same standard as the
+    round-4 falsified-lever reverts); SEGGER_SCORE=pallas opts in."""
+    import os
+
+    choice = os.environ.get("SEGGER_SCORE", "").strip().lower()
+    if choice in ("xla", "pallas"):
+        return choice
+    return "xla"
+
+
 def score_candidates(
     emb_tx: jnp.ndarray,
     bd_feats: jnp.ndarray,
@@ -281,6 +304,24 @@ def score_candidates(
                 jnp.maximum((tx32 * tx32).sum(-1, keepdims=True), 1e-16)
             )
         ).astype(emb_tx.dtype)
+    backend = _score_backend()
+    if backend == "pallas":
+        from .pallas import score as _ps
+
+        if _ps.supported(cand, txn.shape[-1]):
+            # forced SEGGER_SCORE=pallas off-TPU runs in interpret mode
+            interp = jax.default_backend() != "tpu"
+            max_sim, slot = _ps.score_max_pallas(
+                txn, bdn, cand, interpret=interp
+            )
+            k = cand.idx.shape[1]
+            picked = jnp.where(
+                jnp.arange(k)[None, :] == slot[:, None], cand.idx, 0
+            ).sum(axis=1)
+            seg = jnp.where(
+                slot >= 0, row_gather_1d(bd_index, picked), -1
+            )
+            return max_sim, seg.astype(jnp.int32)
     g = csr_gather(bdn, cand)
     cos = jnp.einsum(
         "nf,nkf->nk", txn, g, preferred_element_type=jnp.float32

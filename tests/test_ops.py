@@ -271,3 +271,37 @@ def test_score_candidates_fast_paths_match_reference(rng):
                                atol=2e-2)
     agree = (np.asarray(seg2) == np.asarray(seg0)).mean()
     assert agree > 0.97, agree
+
+
+def test_score_candidates_pallas_backend_matches_xla(rng, monkeypatch):
+    """The fused Pallas scoring kernel (interpret mode on CPU) must
+    reproduce the XLA chain exactly: similarities allclose, assignments
+    identical, and the empty-row (-1e30, -1) contract preserved."""
+    from segger_tpu.ops import score_candidates
+
+    n_tx, n_bd, f = 700, 60, 64
+    etx = rng.normal(size=(n_tx, f)).astype(np.float32)
+    ebd = rng.normal(size=(n_bd, f)).astype(np.float32)
+    etx /= np.linalg.norm(etx, axis=1, keepdims=True)
+    ebd /= np.linalg.norm(ebd, axis=1, keepdims=True)
+    # leave a block of transcripts with NO candidates (empty rows)
+    ca_s = np.repeat(np.arange(n_tx - 100), 3)
+    ca_d = rng.integers(0, n_bd, ca_s.size)
+    cand = coo_to_padded_csr(ca_s, ca_d, n_dst=n_tx, k=4)
+    bd_index = np.arange(n_bd, dtype=np.int32) + 3
+
+    args = (jnp.asarray(etx), jnp.asarray(ebd),
+            jax.tree.map(jnp.asarray, cand), jnp.asarray(bd_index))
+    monkeypatch.setenv("SEGGER_SCORE", "xla")
+    sim0, seg0 = score_candidates(*args, normalized=True)
+    monkeypatch.setenv("SEGGER_SCORE", "pallas")
+    sim1, seg1 = score_candidates(*args, normalized=True)
+
+    np.testing.assert_allclose(np.asarray(sim1), np.asarray(sim0),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(seg1), np.asarray(seg0))
+    # empty rows: unassigned contract
+    empty = ~np.asarray(cand.mask).any(axis=1)
+    assert empty.sum() == 100
+    assert (np.asarray(seg1)[empty] == -1).all()
+    assert (np.asarray(sim1)[empty] <= -1e29).all()

@@ -86,13 +86,43 @@ def main():
         )
         return ms.sum() + seg.sum() * 1e-9
 
+    def full_bf16_norm(etx, ebd):
+        # the shipped predict config: bf16 + already-unit embeddings
+        ms, seg = score_candidates(
+            etx, ebd, cand, tile.bd_index,
+            dtype=jnp.bfloat16, normalized=True,
+        )
+        return ms.sum() + seg.sum() * 1e-9
+
+    def full_norm(etx, ebd):
+        # f32 + already-unit embeddings (no dtype casts: the candidate
+        # gather is row-rate bound, so halving bytes buys little while
+        # the bf16 casts add two full passes over both tables)
+        ms, seg = score_candidates(
+            etx, ebd, cand, tile.bd_index, normalized=True,
+        )
+        return ms.sum() + seg.sum() * 1e-9
+
+    import os
+
     N = 100
     floor = _round_trip_floor_ms(N)
     res = {"floor_ms": round(floor, 4)}
-    for name, fn in [("gather", gather_only), ("score", score_only),
-                     ("full", full), ("full_k3", full_k3),
-                     ("full_bf16", full_bf16),
-                     ("full_bf16_k3", full_bf16_k3)]:
+    # (name, fn, SEGGER_SCORE backend) — the env var is read at trace
+    # time inside score_candidates, so setting it before each jit works
+    for name, fn, backend in [
+        ("gather", gather_only, "xla"),
+        ("score", score_only, "xla"),
+        ("full", full, "xla"),
+        ("full_k3", full_k3, "xla"),
+        ("full_bf16", full_bf16, "xla"),
+        ("full_bf16_k3", full_bf16_k3, "xla"),
+        ("full_bf16_norm_xla", full_bf16_norm, "xla"),
+        ("full_bf16_norm_pallas", full_bf16_norm, "pallas"),
+        ("full_norm_xla", full_norm, "xla"),
+        ("full_norm_pallas", full_norm, "pallas"),
+    ]:
+        os.environ["SEGGER_SCORE"] = backend
         @jax.jit
         def chain(etx, ebd, fn=fn):
             def body(i, carry):
