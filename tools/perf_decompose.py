@@ -3,16 +3,19 @@
 Times four chained variants of the bench workload (same tile, model,
 and chained-measurement methodology as bench.py):
 
-  fwd        forward only
+  fwd        forward only (deterministic)
+  fwd_drop   dropout-mode forward — the kernels' PRNG+keep delta
   fwd+bwd    grad of sum(forward outputs)  — conv forward + backward,
              no losses / no optimizer
   losses     forward + the three losses (no grad)
   step       full training step (bench parity)
 
-The deltas localize the next optimization target:
-  bwd cost      = (fwd+bwd) - fwd
-  loss fwd cost = losses - fwd
-  loss bwd + adam = step - (fwd+bwd) - (losses - fwd)
+The deltas localize the next optimization target (fwd+bwd and losses
+both run the dropout-mode forward, so deltas subtract fwd_drop):
+  dropout delta = fwd_drop - fwd
+  bwd cost      = (fwd+bwd) - fwd_drop
+  loss fwd cost = losses - fwd_drop
+  loss bwd + adam = step - (fwd+bwd) - (losses - fwd_drop)
 
 Usage (TPU must be otherwise idle):
     timeout 900 python tools/perf_decompose.py
@@ -51,6 +54,18 @@ def main():
         def body(i, carry):
             p, acc = carry
             out = model.apply(p, tile)
+            acc2 = acc + out["tx"].sum() + out["bd"].sum()
+            return (jax.tree.map(lambda x: x + acc2 * 1e-25, p), acc2)
+        return jax.lax.fori_loop(0, N, body, (p, 0.0))[1]
+
+    @jax.jit
+    def fwd_dropout_chain(p):
+        # dropout-mode forward (deterministic=False): isolates the conv
+        # kernels' in-kernel-PRNG + keep-multiply delta over fwd_chain
+        def body(i, carry):
+            p, acc = carry
+            out = model.apply(p, tile, deterministic=False,
+                              rngs={"dropout": jax.random.PRNGKey(0)})
             acc2 = acc + out["tx"].sum() + out["bd"].sum()
             return (jax.tree.map(lambda x: x + acc2 * 1e-25, p), acc2)
         return jax.lax.fori_loop(0, N, body, (p, 0.0))[1]
@@ -118,17 +133,25 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(1), N)
     out = {
         "fwd_ms": _chained_ms(lambda: fwd_chain(params), N) - floor,
+        "fwd_dropout_ms": _chained_ms(
+            lambda: fwd_dropout_chain(params), N) - floor,
         "fwd_bwd_ms": _chained_ms(lambda: fwdbwd_chain(params), N) - floor,
         "losses_ms": _chained_ms(
             lambda: losses_chain(params, keys), N) - floor,
         "step_ms": _chained_ms(
             lambda: step_chain(params, opt_state, keys), N) - floor,
     }
-    out["bwd_only_ms"] = round(out["fwd_bwd_ms"] - out["fwd_ms"], 3)
-    out["loss_fwd_only_ms"] = round(out["losses_ms"] - out["fwd_ms"], 3)
+    out["dropout_delta_ms"] = round(
+        out["fwd_dropout_ms"] - out["fwd_ms"], 3)
+    out["bwd_only_ms"] = round(
+        out["fwd_bwd_ms"] - out["fwd_dropout_ms"], 3)
+    # losses - dropout-mode fwd: the actual loss cost (the loss chain
+    # runs deterministic=False; see tools/loss_decompose.py)
+    out["loss_fwd_only_ms"] = round(
+        out["losses_ms"] - out["fwd_dropout_ms"], 3)
     out["loss_bwd_plus_adam_ms"] = round(
         out["step_ms"] - out["fwd_bwd_ms"]
-        - (out["losses_ms"] - out["fwd_ms"]), 3,
+        - (out["losses_ms"] - out["fwd_dropout_ms"]), 3,
     )
     out = {k: round(v, 3) for k, v in out.items()}
     print(json.dumps(out, indent=2))
